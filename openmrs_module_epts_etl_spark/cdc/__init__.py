@@ -1,0 +1,24 @@
+from .schemas import EVENT_SCHEMA, EVENT_SCHEMA_EVOLVED, TRANSCRIPT_KEY, transcript_schema
+from .generator import FeedSpec, generate_feed
+from .dedupe import dedupe_latest, dedupe_latest_salted
+from .merge import MergeResult, merge_into, vacuum_tombstones
+from .pipeline import CdcPipeline, PipelineConfig
+from .oracle import expected_state_pandas, expected_state_sql
+
+__all__ = [
+    "EVENT_SCHEMA",
+    "EVENT_SCHEMA_EVOLVED",
+    "TRANSCRIPT_KEY",
+    "transcript_schema",
+    "FeedSpec",
+    "generate_feed",
+    "dedupe_latest",
+    "dedupe_latest_salted",
+    "MergeResult",
+    "merge_into",
+    "vacuum_tombstones",
+    "CdcPipeline",
+    "PipelineConfig",
+    "expected_state_pandas",
+    "expected_state_sql",
+]

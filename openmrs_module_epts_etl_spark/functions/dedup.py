@@ -1,0 +1,205 @@
+"""Deduplication families for web-scale corpora: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design notes
+------------------
+- Exact dedup: one hash-groupBy — map-side combine, one shuffle.
+- MinHash: shingle → 64-bit code → k permutation-min aggregations. The whole
+  signature is computed with ``groupBy(doc).agg(min(...) × k)`` — pure JVM
+  aggregation with partial aggregation, NO per-row Python and no UDF at all.
+  (a_i * h + b_i) mod p over md5-derived codes keeps the arithmetic portable
+  to the DuckDB oracle.
+- LSH: signatures → bands → band-hash buckets → self-join inside buckets only.
+  The candidate join is |bucket|²-bounded per bucket, not |corpus|².
+- SimHash: 64 weighted bit sums as native aggregations, Hamming distance via
+  bit_count(xor) — near-dup pairs at distance ≤ d via band join on 4 16-bit
+  chunks (pigeonhole: d ≤ 3 ⇒ some chunk equal).
+- n-gram Jaccard: explode shingles, equi-join on shingle, count shared /
+  (|A|+|B|-shared). Exact but quadratic in the worst case — use after LSH
+  candidate generation at scale; standalone only at small SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^31-1: keeps a*code+b < 2^62 so the arithmetic stays inside int64 in BOTH
+# Spark and the DuckDB oracle (no silent wrap / no overflow error).
+MERSENNE_P = (1 << 31) - 1
+
+
+def _shingle_code(col: Column) -> Column:
+    """Portable shingle code: first 15 hex chars of md5 → bigint, reduced mod
+    p. Same value computable in DuckDB/ANSI SQL for the correctness oracle
+    (``('0x' || substr(md5(s),1,15))::bigint % p``)."""
+    return F.pmod(F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint"), F.lit(MERSENNE_P))
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) rows: word-level n-grams of whitespace-normalized,
+    lowercased text. Documents shorter than n words yield their full text as
+    the single shingle."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    words = F.split(norm, " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    )
+    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 32, seed: int = 42
+) -> DataFrame:
+    """(id, h0..h{k-1}): k min-hash values per document, all JVM-side.
+
+    Permutations h_i(x) = (a_i·x + b_i) mod p with p = 2^61−1; a_i/b_i are
+    fixed odd constants derived from the seed so signatures are reproducible
+    anywhere (including the SQL oracle).
+    """
+    code = _shingle_code(F.col("shingle"))
+    aggs = []
+    for a, b, i in minhash_coefficients(num_hashes, seed):
+        aggs.append(F.min(F.pmod(F.lit(a) * code + F.lit(b), F.lit(MERSENNE_P))).alias(f"h{i}"))
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int, int]]:
+    """(a_i, b_i, i) for h_i(x) = (a_i·x + b_i) mod p — shared by the Spark
+    implementation and the generated SQL oracle."""
+    out = []
+    for i in range(num_hashes):
+        a = (2 * (seed * 1_000_003 + i * 7_919) + 1) % MERSENNE_P or 1
+        b = (seed * 1_140_071_481 + i * 2_654_435_761) % MERSENNE_P
+        out.append((a, b, i))
+    return out
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """MinHash-LSH: hash each band of the signature; docs sharing any band
+    bucket become a candidate pair. Returns distinct (id_a, id_b), id_a<id_b.
+    """
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band{b}"))
+    banded = signatures.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bucket")) for b in range(bands)])
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_similarity(signatures: DataFrame, pairs: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """Estimated Jaccard = fraction of matching minhash components."""
+    sa = signatures.select(F.col("id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = signatures.select(F.col("id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)])
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    matches = sum_ints([F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0) for i in range(num_hashes)])
+    return j.select("id_a", "id_b", (matches / F.lit(float(num_hashes))).alias("est_jaccard"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, min_jaccard: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle."""
+    sh = word_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def simhash(shingles: DataFrame, seed: int = 42) -> DataFrame:
+    """(id, simhash): 64-bit SimHash from shingle hashes — bit i of the result
+    is 1 iff the sum over shingles of ±1 (by bit i of xxhash64(shingle)) > 0.
+    64 conditional-sum aggregations, one shuffle, no UDF."""
+    h = F.xxhash64(F.col("shingle"), F.lit(seed))
+    aggs = [
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{i}")
+        for i in range(64)
+    ]
+    sums = shingles.groupBy("id").agg(*aggs)
+    sig = sum_ints(
+        [F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0) for i in range(64)]
+    )
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs at Hamming distance ≤ max_hamming via pigeonhole
+    banding: split 64 bits into 4 chunks; distance ≤ 3 ⇒ at least one chunk
+    identical → join per chunk, verify exact distance with bit_count(xor)."""
+    chunks = [
+        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
+        for c in range(4)
+    ]
+    t = sig.select("id", "simhash", *chunks)
+    pairs = None
+    for c in range(4):
+        a = t.alias("a")
+        b = t.alias("b")
+        p = (
+            a.join(b, F.col(f"a.c{c}") == F.col(f"b.c{c}"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: keep the min-id representative
+    per fingerprint group. One groupBy (map-side combined)."""
+    from .text import doc_fingerprint
+
+    fp = df.select(F.col(id_col).alias("id"), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    return fp.groupBy("fingerprint").agg(
+        F.min("id").alias("keep_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+def sum_ints(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out

@@ -1,0 +1,128 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All native ``pyspark.sql.functions`` expressions — JVM-side, whole-stage
+codegen, no Python in the hot path. At 100 TB these run at scan speed with
+column pruning (only ``text`` is read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately small + space-delimited so the same logic is expressible in the
+# DuckDB oracle (occurrence counting via length/replace arithmetic).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to "],
+    "de": [" der ", " die ", " und ", " ist "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " que ", " los ", " una "],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization; empty/null-safe. A BPE-ish sub-word estimate
+    is ``ceil(chars/4)`` — provided as ``token_count_bpe_ish``."""
+    t = F.trim(F.coalesce(text, F.lit("")))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    return F.ceil(F.length(F.coalesce(text, F.lit(""))) / F.lit(4.0)).cast("long")
+
+
+def _occurrences(text: Column, marker: str) -> Column:
+    """Count non-overlapping occurrences via length arithmetic — identical
+    semantics in Spark and ANSI SQL (oracle-friendly, no regex dialects)."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(marker), F.lit(""))))
+        / F.lit(len(marker))
+    ).cast("long")
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.length(t)
+    n_tokens = token_count(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    n_space = F.length(F.regexp_replace(t, r"[^ ]", ""))
+    mean_token_len = F.when(n_tokens > 0, (n_chars - n_space) / n_tokens).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)),
+        "digit_ratio": F.when(n_chars > 0, n_digit / n_chars).otherwise(F.lit(0.0)),
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "mean_token_len": mean_token_len,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic: long-enough, mostly alphabetic, sane token lengths,
+    not digit/punct spam. Weights are arbitrary but deterministic."""
+    f = quality_features(text)
+    len_ok = F.least(f["n_tokens"] / F.lit(20.0), F.lit(1.0))
+    tok_ok = F.when((f["mean_token_len"] >= 2) & (f["mean_token_len"] <= 12), 1.0).otherwise(0.3)
+    return F.round(
+        0.35 * len_ok
+        + 0.35 * f["alpha_ratio"]
+        + 0.15 * tok_ok
+        + 0.15 * (1 - F.least(f["digit_ratio"] * 4, F.lit(1.0))),
+        6,
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Marker-n-gram language heuristic over {en,de,fr,es,zh}: zh if CJK
+    codepoints dominate, else the language whose stopword markers occur most
+    (ties → 'und' unknown/undetermined)."""
+    t = F.concat(F.lit(" "), F.lower(F.coalesce(text, F.lit(""))), F.lit(" "))
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    scores = [
+        (lang, sum_cols([_occurrences(t, m) for m in markers]))
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    guess = F.lit("und")
+    for lang, s in reversed(scores):
+        guess = F.when(s == best_score, F.lit(lang)).otherwise(guess)
+    return (
+        F.when(cjk * 2 > F.length(F.trim(t)), F.lit("zh"))
+        .when(best_score <= 0, F.lit("und"))
+        .otherwise(guess)
+    )
+
+
+def sum_cols(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out + c
+    return out
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic content fingerprint: md5 of whitespace-normalized,
+    lowercased text. Stable across engines (md5 is md5 everywhere) — the
+    exact-dedup and fingerprint-join key."""
+    norm = F.lower(F.trim(F.regexp_replace(F.coalesce(text, F.lit("")), r"\s+", " ")))
+    return F.md5(norm)
+
+
+def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """documents → documents + analysis columns (one projection, no shuffle)."""
+    t = F.col(text_col)
+    feats = quality_features(t)
+    return df.select(
+        "*",
+        feats["n_tokens"].alias("n_tokens"),
+        token_count_bpe_ish(t).alias("n_tokens_bpe_ish"),
+        F.round(feats["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(feats["punct_ratio"], 6).alias("punct_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_guess"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

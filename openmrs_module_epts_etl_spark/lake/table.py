@@ -1,0 +1,362 @@
+"""A minimal ACID table format over parquet ("lake table").
+
+No Iceberg/Delta jars exist in this environment, so the engine ships its own
+Iceberg-shaped table format, built from scratch:
+
+- **Commit log**: ``_commits/{version:020d}.json`` files; each commit is the
+  complete snapshot (schema + file manifest + lineage metrics + epoch fence).
+  A commit is published with an atomic ``os.rename`` — readers either see the
+  old snapshot or the new one, never a partial write (same atomicity trick the
+  reference uses for export files: ``.tmp`` → ``.json`` rename,
+  api:export/processor/DBExportProcessor.java:84-96).
+- **Snapshot isolation / time travel**: ``LakeTable(spark, path, version=N)``
+  reads any retained snapshot.
+- **Partition-level copy-on-write**: commits replace whole files; the merge
+  path rewrites only files in affected partitions (see cdc/merge.py).
+- **Additive schema evolution**: a commit may carry a wider schema; old files
+  are read through the new schema (missing columns → null), mirroring Iceberg
+  ``ALTER TABLE ADD COLUMN`` + the reference's flat additive model
+  (SURVEY.md §1.3).
+- **Epoch fencing**: each commit can record ``(fence_key, epoch_id)``;
+  re-applying an already-committed epoch is a detectable no-op. This replaces
+  the reference's interval-checkpoint files + finished-markers
+  (api:engine/record_intervals_manager/ThreadRecordIntervalsManager.java:227-254)
+  and gives exactly-once sink semantics under foreachBatch replay.
+
+Scale notes: the manifest is driver-side JSON — fine for the file counts a
+partitioned table produces when merges rewrite at partition granularity (a
+real deployment would page manifests like Iceberg's avro manifest lists; the
+read/prune/commit *protocol* here is the same). Data reads/writes are fully
+distributed Spark parquet jobs; the driver only touches metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from .partitioning import PartitionField, from_json as spec_from_json
+
+_COMMITS = "_commits"
+_DATA = "data"
+
+
+@dataclass
+class DataFile:
+    path: str                      # relative to table root
+    partition: dict[str, str]      # partition col -> hive string value
+    rows: int
+
+    def to_json(self) -> dict:
+        return {"path": self.path, "partition": self.partition, "rows": self.rows}
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(d["path"], d["partition"], d["rows"])
+
+
+@dataclass
+class Commit:
+    version: int
+    schema_json: str
+    partition_spec: list[dict]
+    files: list[DataFile]
+    epoch: dict | None = None            # {"fence_key": str, "epoch_id": int}
+    metrics: dict | None = None          # lineage/applied counts for this commit
+    parent: int | None = None
+    properties: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schema_json": self.schema_json,
+            "partition_spec": self.partition_spec,
+            "files": [f.to_json() for f in self.files],
+            "epoch": self.epoch,
+            "metrics": self.metrics,
+            "parent": self.parent,
+            "properties": self.properties,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Commit":
+        return Commit(
+            version=d["version"],
+            schema_json=d["schema_json"],
+            partition_spec=d["partition_spec"],
+            files=[DataFile.from_json(f) for f in d["files"]],
+            epoch=d.get("epoch"),
+            metrics=d.get("metrics"),
+            parent=d.get("parent"),
+            properties=d.get("properties", {}),
+        )
+
+
+class CommitConflict(RuntimeError):
+    """Another writer published this version first (single-writer protocol)."""
+
+
+class LakeTable:
+    """Handle on a lake table. Cheap to construct; state is the commit log."""
+
+    def __init__(self, spark: SparkSession, path: str, version: int | None = None):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._commit = self._load_commit(version)
+
+    # ------------------------------------------------------------- creation
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: StructType,
+        partition_by: list[PartitionField] | None = None,
+        properties: dict | None = None,
+    ) -> "LakeTable":
+        path = os.path.abspath(path)
+        os.makedirs(os.path.join(path, _COMMITS), exist_ok=True)
+        os.makedirs(os.path.join(path, _DATA), exist_ok=True)
+        c = Commit(
+            version=0,
+            schema_json=schema.json(),
+            partition_spec=[p.to_json() for p in (partition_by or [])],
+            files=[],
+            properties=properties or {},
+        )
+        LakeTable._write_commit(path, c)
+        return LakeTable(spark, path)
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        d = os.path.join(os.path.abspath(path), _COMMITS)
+        return os.path.isdir(d) and bool(os.listdir(d))
+
+    # ------------------------------------------------------------- metadata
+    def _commit_dir(self) -> str:
+        return os.path.join(self.path, _COMMITS)
+
+    def _versions(self) -> list[int]:
+        return sorted(
+            int(f.split(".")[0])
+            for f in os.listdir(self._commit_dir())
+            if f.endswith(".json")
+        )
+
+    def _load_commit(self, version: int | None) -> Commit:
+        versions = self._versions()
+        if not versions:
+            raise FileNotFoundError(f"no commits at {self.path}")
+        v = versions[-1] if version is None else version
+        with open(os.path.join(self._commit_dir(), f"{v:020d}.json")) as fh:
+            return Commit.from_json(json.load(fh))
+
+    def refresh(self) -> "LakeTable":
+        self._commit = self._load_commit(None)
+        return self
+
+    @property
+    def version(self) -> int:
+        return self._commit.version
+
+    @property
+    def schema(self) -> StructType:
+        return StructType.fromJson(json.loads(self._commit.schema_json))
+
+    @property
+    def partition_spec(self) -> list[PartitionField]:
+        return spec_from_json(self._commit.partition_spec)
+
+    @property
+    def files(self) -> list[DataFile]:
+        return list(self._commit.files)
+
+    def history(self) -> list[Commit]:
+        return [self._load_commit(v) for v in self._versions()]
+
+    def epoch_already_applied(self, fence_key: str, epoch_id: int) -> bool:
+        """Exactly-once fence: True iff some commit already recorded this epoch."""
+        for c in self.history():
+            e = c.epoch
+            if e and e.get("fence_key") == fence_key and e.get("epoch_id") == epoch_id:
+                return True
+        return False
+
+    # ----------------------------------------------------------------- read
+    def read(
+        self,
+        files: Iterable[DataFile] | None = None,
+        partition_filter: Callable[[dict[str, str]], bool] | None = None,
+        include_hidden: bool = False,
+    ) -> DataFrame:
+        """Snapshot read. ``partition_filter`` prunes files driver-side (the
+        analog of Iceberg partition pruning); Spark's parquet reader still does
+        row-group min/max + pushdown below that. Old (pre-evolution) files are
+        read through the current schema: missing columns come back null.
+
+        The user-facing default hides engine columns (``_``-prefixed) and
+        filters delete tombstones (``_deleted``); the merge path reads with
+        ``include_hidden=True`` to see both.
+        """
+        sel = list(self._commit.files if files is None else files)
+        if partition_filter is not None:
+            sel = [f for f in sel if partition_filter(f.partition)]
+        schema = self.schema
+        if not sel:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            paths = [os.path.join(self.path, f.path) for f in sel]
+            df = self.spark.read.schema(schema).parquet(*paths)
+        if not include_hidden:
+            if "_deleted" in df.columns:
+                df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+            df = df.select(*[c for c in df.columns if not c.startswith("_")])
+        return df
+
+    # ---------------------------------------------------------------- write
+    def write_data_files(self, df: DataFrame) -> list[DataFile]:
+        """Write a DataFrame as new data files laid out by the partition spec.
+
+        Partition values are *derived* copies (``__p_<name>``) so the original
+        columns stay in the parquet files — the hive directory encoding is
+        layout only, and any file can be read standalone with the table schema.
+        This is a distributed write; the driver only lists results after.
+        """
+        spec = self.partition_spec
+        commit_uuid = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join(_DATA, f"c-{commit_uuid}")
+        out_dir = os.path.join(self.path, rel_dir)
+
+        # Project to table schema order (fills evolution gaps with nulls).
+        cols = [f.name for f in self.schema.fields]
+        for c in cols:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast(self.schema[c].dataType))
+        df = df.select(*cols)
+
+        writer = df
+        pnames = []
+        for p in spec:
+            pname = f"__p_{p.name}"
+            writer = writer.withColumn(pname, p.expr_fn(p.source))
+            pnames.append(pname)
+        w = writer.write.mode("append")
+        if pnames:
+            w = w.partitionBy(*pnames)
+        w.parquet(out_dir)
+
+        return self._discover_files(rel_dir, spec)
+
+    def _discover_files(self, rel_dir: str, spec: list[PartitionField]) -> list[DataFile]:
+        import pyarrow.parquet as pq
+
+        out: list[DataFile] = []
+        base = os.path.join(self.path, rel_dir)
+        for root, _dirs, names in os.walk(base):
+            for n in names:
+                if not n.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, n)
+                rel = os.path.relpath(full, self.path)
+                partition: dict[str, str] = {}
+                for part in os.path.relpath(root, base).split(os.sep):
+                    if "=" in part:
+                        k, _, v = part.partition("=")
+                        partition[k.removeprefix("__p_")] = v
+                rows = pq.ParquetFile(full).metadata.num_rows
+                out.append(DataFile(path=rel, partition=partition, rows=rows))
+        return out
+
+    def commit(
+        self,
+        add: list[DataFile],
+        remove_paths: set[str] | None = None,
+        new_schema: StructType | None = None,
+        epoch: dict | None = None,
+        metrics: dict | None = None,
+    ) -> Commit:
+        remove_paths = remove_paths or set()
+        kept = [f for f in self._commit.files if f.path not in remove_paths]
+        c = Commit(
+            version=self._commit.version + 1,
+            schema_json=(new_schema or self.schema).json(),
+            partition_spec=self._commit.partition_spec,
+            files=kept + add,
+            epoch=epoch,
+            metrics=metrics,
+            parent=self._commit.version,
+            properties=self._commit.properties,
+        )
+        self._write_commit(self.path, c)
+        self._commit = c
+        return c
+
+    @staticmethod
+    def _write_commit(path: str, c: Commit) -> None:
+        final = os.path.join(path, _COMMITS, f"{c.version:020d}.json")
+        if os.path.exists(final):
+            raise CommitConflict(f"version {c.version} already committed at {path}")
+        tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(c.to_json(), fh)
+        try:
+            # atomic publish; os.rename fails-or-replaces atomically on POSIX —
+            # link+unlink would error on collision, rename suffices single-writer
+            os.rename(tmp, final)
+        except OSError:
+            os.unlink(tmp)
+            raise
+
+    # ----------------------------------------------------------- evolution
+    def evolved_schema(self, incoming: StructType) -> StructType | None:
+        """Additive evolution: fields in ``incoming`` missing from the table
+        schema (ignoring hidden ``_`` columns) are appended. Returns the new
+        schema or None if nothing changed. Type changes are rejected —
+        additive-only, like the north rule requires.
+        """
+        current = self.schema
+        have = {f.name for f in current.fields}
+        for f in incoming.fields:
+            if f.name in have:
+                cur_t = current[f.name].dataType
+                if cur_t != f.dataType:
+                    raise ValueError(
+                        f"non-additive schema change on {f.name}: {cur_t} -> {f.dataType}"
+                    )
+        added = [f for f in incoming.fields if f.name not in have and not f.name.startswith("__")]
+        if not added:
+            return None
+        return StructType(current.fields + [f for f in added])
+
+    # ------------------------------------------------------------ utilities
+    def append(self, df: DataFrame, epoch: dict | None = None, metrics: dict | None = None) -> Commit:
+        new_schema = self.evolved_schema(df.schema)
+        if new_schema is not None:
+            self._commit.schema_json = new_schema.json()
+        added = self.write_data_files(df)
+        return self.commit(added, epoch=epoch, metrics=metrics, new_schema=new_schema)
+
+    def overwrite_partitions(
+        self,
+        df: DataFrame,
+        replaced: list[DataFile],
+        epoch: dict | None = None,
+        metrics: dict | None = None,
+        new_schema: StructType | None = None,
+    ) -> Commit:
+        if new_schema is not None:
+            self._commit.schema_json = new_schema.json()
+        added = self.write_data_files(df)
+        return self.commit(
+            added,
+            remove_paths={f.path for f in replaced},
+            epoch=epoch,
+            metrics=metrics,
+            new_schema=new_schema,
+        )

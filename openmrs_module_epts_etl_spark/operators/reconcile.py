@@ -1,0 +1,57 @@
+"""Reconciliation detectors (DATA_RECONCILIATION process, SURVEY.md §2.11):
+MISSING / OUTDATED / PHANTOM records between a source and a destination,
+mirroring api:reconciliation/processor/CentralAndRemoteDataReconciliationProcessor.java
+and the stage⋈live joins in api:model/pojo/generic/DatabaseObjectDAO.java:705-789."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .joins import anti_join
+
+
+def missing_records(src: DataFrame, dst: DataFrame, keys: list[str]) -> DataFrame:
+    """Source rows absent from the destination (reason MISSING)."""
+    return anti_join(src, dst, keys)
+
+
+def phantom_records(src: DataFrame, dst: DataFrame, keys: list[str]) -> DataFrame:
+    """Destination rows with no source counterpart (reason PHANTOM —
+    the RIGHT JOIN ... IS NULL at DatabaseObjectDAO.java:762-789)."""
+    return anti_join(dst, src, keys)
+
+
+def outdated_records(
+    src: DataFrame,
+    dst: DataFrame,
+    keys: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Rows present on both sides whose compared fields differ — the
+    field-by-field ``hasExactilyTheSameDataWith`` comparison
+    (api:model/pojo/generic/AbstractDatabaseObject.java:171-187) done with a
+    null-safe struct inequality instead of a per-row loop."""
+    s = src.select(*keys, *[F.col(c).alias(f"src_{c}") for c in compare_cols])
+    d = dst.select(*keys, *[F.col(c).alias(f"dst_{c}") for c in compare_cols])
+    joined = s.join(d, on=keys, how="inner")
+    diff = None
+    for c in compare_cols:
+        ne = ~F.col(f"src_{c}").eqNullSafe(F.col(f"dst_{c}"))
+        diff = ne if diff is None else (diff | ne)
+    return joined.filter(diff)
+
+
+def reconciliation_report(
+    src: DataFrame, dst: DataFrame, keys: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """One frame with a ``reason`` column ∈ {MISSING, PHANTOM, OUTDATED}
+    (api:reconciliation/model/ConciliationReasonType.java)."""
+    missing = missing_records(src, dst, keys).select(*keys).withColumn("reason", F.lit("MISSING"))
+    phantom = phantom_records(src, dst, keys).select(*keys).withColumn("reason", F.lit("PHANTOM"))
+    outdated = (
+        outdated_records(src, dst, keys, compare_cols)
+        .select(*keys)
+        .withColumn("reason", F.lit("OUTDATED"))
+    )
+    return missing.unionByName(phantom).unionByName(outdated)

@@ -1,0 +1,75 @@
+"""Window-shaped operators (SURVEY.md §2.5 — procedural logic in the
+reference, windows/aggregations here)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def latest_per_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """chooseMostRecent (api:common/model/EtlStageRecordVO.java:398-418) as a
+    map-side-combining max_by aggregation — see cdc/dedupe.py for why this
+    beats row_number over a key window under hot-key skew."""
+    from ..cdc.dedupe import dedupe_latest
+
+    return dedupe_latest(df, key=keys, order_col=order_col)
+
+
+def gap_buckets(df: DataFrame, id_col: str, bucket_size: int = 1000) -> DataFrame:
+    """PK sequence gap detection (DETECT_GAPES,
+    api:detectgapes/processor/DetectGapesProcessor.java:41-67).
+
+    The reference sorts the whole PK stream and diffs against the previous
+    record — a global order. A global ``lag`` window is a single-reducer sort
+    at scale, so instead: bucket the id space, compare per-bucket distinct
+    count to the bucket's span — a bucket with count < span contains gaps.
+    One shuffle, fully parallel; drill into flagged buckets if exact gap
+    endpoints are needed.
+    """
+    b = df.select(F.col(id_col).alias("id")).withColumn(
+        "bucket", F.floor(F.col("id") / bucket_size).cast("long")
+    )
+    per = b.groupBy("bucket").agg(
+        F.countDistinct("id").alias("n_ids"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+    )
+    return (
+        per.withColumn("span", F.col("max_id") - F.col("min_id") + 1)
+        .withColumn("missing_in_bucket", F.col("span") - F.col("n_ids"))
+        .filter(F.col("missing_in_bucket") > 0)
+        .select("bucket", "min_id", "max_id", "n_ids", "missing_in_bucket")
+    )
+
+
+def running_total(
+    df: DataFrame, partition_cols: list[str], order_col: str, value_col: str, alias: str = "running_total"
+) -> DataFrame:
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(alias, F.sum(value_col).over(w))
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign session ids per key: a new session starts when the gap to the
+    previous event exceeds ``gap_seconds``. lag + conditional cumulative sum —
+    both windows partition by the key, so no global sort. Gap compares at
+    microsecond precision (unix_micros handles TIMESTAMP_NTZ via ltz cast)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    gap = us - F.lag(us).over(w)
+    df = df.withColumn(
+        "__new_session", F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    )
+    df = df.withColumn("session_id", F.sum("__new_session").over(w))
+    return df.drop("__new_session")

@@ -1,0 +1,12 @@
+"""Query library exposed through ``__spark_entry__.py``.
+
+Every entry pairs a Spark DataFrame implementation with an ANSI-SQL oracle
+string (DuckDB-runnable) producing identical column names and values; ops
+whose building blocks aren't expressible in portable SQL (xxhash64-based
+signatures, pandas-UDF LSH) ship without an oracle and get the driver's
+rows-only check.
+"""
+
+from .registry import ORACLES, QUERIES, flagship
+
+__all__ = ["QUERIES", "ORACLES", "flagship"]

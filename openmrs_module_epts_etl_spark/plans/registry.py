@@ -1,0 +1,18 @@
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import events_queries, text_queries, tpch, vector_queries
+
+QUERIES = {}
+ORACLES = {}
+for mod in (tpch, events_queries, text_queries, vector_queries):
+    QUERIES.update(mod.QUERIES)
+    ORACLES.update(mod.ORACLES)
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's signature move on the shared testdata: CDC-style per-key
+    winner selection over the events stream (max_by dedupe — the same
+    operator that fronts every MERGE)."""
+    return events_queries.latest_event_per_user(spark, sf_dir)

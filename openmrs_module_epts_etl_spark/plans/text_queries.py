@@ -1,0 +1,235 @@
+"""Text-analysis and dedup queries over ``documents`` — the training-data
+pipeline surface. SQL oracles are generated from the same constants
+(LANG_MARKERS, minhash coefficients) as the Spark implementations, so both
+sides share one definition."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import (
+    MERSENNE_P,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_coefficients,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+from ..functions.text import LANG_MARKERS, language_id, quality_score, token_count
+from .base import t
+
+# ------------------------------------------------------- SQL building blocks
+_TOKENS_SQL = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+
+def _occ_sql(haystack: str, marker: str) -> str:
+    return (
+        f"((length({haystack}) - length(replace({haystack}, '{marker}', ''))) / {len(marker)})::BIGINT"
+    )
+
+
+def _langid_sql_expr() -> str:
+    """CASE expression mirroring functions.text.language_id."""
+    norm = "(' ' || lower(coalesce(text,'')) || ' ')"
+    scores = {
+        lang: " + ".join(_occ_sql(norm, m) for m in markers)
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = "GREATEST(" + ", ".join(f"({s})" for s in scores.values()) + ")"
+    cjk = f"length(regexp_replace({norm}, '[^一-鿿]', '', 'g'))"
+    whens = " ".join(
+        f"WHEN ({scores[lang]}) = __best THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+      CASE WHEN {cjk} * 2 > length(trim({norm})) THEN 'zh'
+           WHEN __best <= 0 THEN 'und'
+           {whens}
+           ELSE 'und' END
+    """, best
+
+
+# --------------------------------------------------------------- queries
+def doc_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+DOC_STATS_SQL = f"""
+SELECT lang, COUNT(*) AS n_docs, SUM({_TOKENS_SQL}) AS total_tokens,
+       SUM(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+DOC_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+    {_TOKENS_SQL} AS n_tokens,
+    length(coalesce(text,'')) AS n_chars,
+    length(regexp_replace(coalesce(text,''), '[^a-zA-Z]', '', 'g')) AS n_alpha,
+    length(regexp_replace(coalesce(text,''), '[^0-9]', '', 'g')) AS n_digit,
+    length(regexp_replace(coalesce(text,''), '[^ ]', '', 'g')) AS n_space
+  FROM documents),
+g AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN n_chars > 0 THEN n_digit / n_chars ELSE 0.0 END AS digit_ratio,
+    CASE WHEN n_tokens > 0 THEN (n_chars - n_space) / n_tokens ELSE 0.0 END AS mtl
+  FROM f)
+SELECT doc_id, n_tokens,
+  ROUND(0.35 * LEAST(n_tokens / 20.0, 1.0)
+      + 0.35 * alpha_ratio
+      + 0.15 * (CASE WHEN mtl >= 2 AND mtl <= 12 THEN 1.0 ELSE 0.3 END)
+      + 0.15 * (1 - LEAST(digit_ratio * 4, 1.0)), 6) AS quality
+FROM g
+"""
+
+
+def lang_id_confusion(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-based language ID vs the labeled lang column — confusion counts."""
+    docs = t(spark, sf, "documents")
+    return (
+        docs.select("lang", language_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _lang_confusion_sql() -> str:
+    case_expr, best = _langid_sql_expr()
+    return f"""
+    WITH s AS (SELECT lang, {best} AS __best, text FROM documents)
+    SELECT lang, {case_expr} AS lang_guess, COUNT(*) AS n
+    FROM s GROUP BY 1, 2
+    """
+
+
+def exact_dup_groups(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+EXACT_DUP_SQL = """
+SELECT md5(lower(trim(regexp_replace(coalesce(text,''), '\\s+', ' ', 'g')))) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+def minhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    return minhash_signatures(sh, num_hashes=16).withColumnRenamed("id", "doc_id")
+
+
+def _minhash_sql(num_hashes: int = 16, n: int = 3) -> str:
+    mins = ",\n  ".join(
+        f"MIN(({a} * code + {b}) % {MERSENNE_P}) AS h{i}"
+        for a, b, i in minhash_coefficients(num_hashes)
+    )
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, GREATEST(len(words) - {n - 1}, 1)),
+               i -> array_to_string(words[i:i+{n - 1}], ' '))) AS shingle
+      FROM norm),
+    coded AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE_P} AS code
+      FROM sh)
+    SELECT doc_id, {mins}
+    FROM coded GROUP BY doc_id
+    """
+
+
+def ngram_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5)
+
+
+def _ngram_jaccard_sql(n: int = 3, min_j: float = 0.5) -> str:
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, GREATEST(len(words) - {n - 1}, 1)),
+               i -> array_to_string(words[i:i+{n - 1}], ' '))) AS shingle
+      FROM norm),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared / (sa.sz + sb.sz - shared) >= {min_j}
+    """
+
+
+# ------- xxhash64-based ops: Spark-only (driver records rows-only checks)
+def simhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    return simhash(sh).withColumnRenamed("id", "doc_id")
+
+
+def simhash_near_dups_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    return simhash_near_pairs(simhash(sh), max_hamming=3)
+
+
+def minhash_lsh_candidates_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, num_hashes=16)
+    return lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+
+
+QUERIES = {
+    "doc_stats_by_lang": doc_stats_by_lang,
+    "doc_quality": doc_quality,
+    "lang_id_confusion": lang_id_confusion,
+    "exact_dup_groups": exact_dup_groups,
+    "minhash_signatures_16": minhash_signatures_q,
+    "ngram_jaccard_pairs": ngram_jaccard_q,
+    "simhash_signatures": simhash_signatures_q,
+    "simhash_near_dups": simhash_near_dups_q,
+    "minhash_lsh_candidates": minhash_lsh_candidates_q,
+}
+
+ORACLES = {
+    "doc_stats_by_lang": DOC_STATS_SQL,
+    "doc_quality": DOC_QUALITY_SQL,
+    "lang_id_confusion": _lang_confusion_sql(),
+    "exact_dup_groups": EXACT_DUP_SQL,
+    "minhash_signatures_16": _minhash_sql(16, 3),
+    "ngram_jaccard_pairs": _ngram_jaccard_sql(3, 0.5),
+    # simhash_* / minhash_lsh_candidates: xxhash64 has no DuckDB equivalent →
+    # rows-only check by design.
+}

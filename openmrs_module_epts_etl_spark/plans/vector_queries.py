@@ -1,0 +1,112 @@
+"""Similarity-search queries over ``embeddings`` (vec_id, embedding float[64],
+label)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import brute_force_cosine_topk, lsh_bucketed_topk, norm
+from .base import t
+
+N_QUERIES = 3  # first N vec_ids serve as query vectors
+TOP_K = 5
+
+
+def ann_cosine_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_cosine_topk(emb, queries, k=TOP_K, round_to=4)
+
+
+ANN_COSINE_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(list_zip(qv, e.embedding),
+                                   x -> (x[1]::DOUBLE) * (x[2]::DOUBLE)))
+           / (sqrt(list_sum(list_transform(qv, v -> (v::DOUBLE) * (v::DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, v -> (v::DOUBLE) * (v::DOUBLE))))),
+           4) AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def embedding_norms(spark: SparkSession, sf: str) -> DataFrame:
+    emb = t(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(norm(F.col("embedding").cast("array<double>")), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id,
+       ROUND(sqrt(list_sum(list_transform(embedding, v -> (v::DOUBLE) * (v::DOUBLE)))), 6) AS l2_norm,
+       len(embedding) AS dim
+FROM embeddings
+"""
+
+
+def label_centroids(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed vector aggregation: per-label centroid, computed as
+    posexplode → exact decimal mean per (label, dim) — order-invariant, so
+    the shuffled Spark sum matches the sequential SQL sum bit-for-bit."""
+    emb = t(spark, sf, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    # double → string → decimal: the string is the shortest round-trip repr on
+    # both engines (identical), and decimal(38,25) holds it exactly (float32
+    # values as doubles need ≤23 fractional digits) — so the sum is exact and
+    # order-invariant, unlike a direct double→decimal cast whose rounding
+    # differs between Spark (rounds the repr) and DuckDB (rounds the binary).
+    v_exact = F.col("v").cast("string").cast("decimal(38,25)")
+    # final round(9) absorbs the 1-ulp difference in decimal→double casting
+    # between engines (sums themselves are exact)
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.sum(v_exact).cast("double") / F.count("v"), 9).alias("centroid_v")
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT label,
+         unnest(generate_series(0, len(embedding) - 1)) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings)
+SELECT label, pos::INT AS pos,
+       ROUND((SUM((v::DOUBLE)::VARCHAR::DECIMAL(38,25)))::DOUBLE / COUNT(v), 9) AS centroid_v
+FROM e GROUP BY label, pos
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale-path ANN: hyperplane-LSH bucketing via vectorized pandas UDF.
+    Approximate by construction → rows-only driver check; recall vs the exact
+    baseline is asserted in tests/test_functions.py."""
+    emb = t(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_bucketed_topk(emb, queries, dim=64, k=TOP_K)
+
+
+QUERIES = {
+    "ann_cosine_topk": ann_cosine_topk,
+    "embedding_norms": embedding_norms,
+    "label_centroids": label_centroids,
+    "ann_lsh_topk": ann_lsh_topk,
+}
+
+ORACLES = {
+    "ann_cosine_topk": ANN_COSINE_SQL,
+    "embedding_norms": EMBEDDING_NORMS_SQL,
+    "label_centroids": LABEL_CENTROIDS_SQL,
+}

@@ -1,0 +1,90 @@
+"""Behavioral tests for the ops the driver can only rows-check (xxhash64 /
+pandas-UDF based): near-dup detection quality and ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmrs_module_epts_etl_spark.functions.dedup import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    minhash_similarity,
+    simhash,
+    simhash_near_pairs,
+    word_shingles,
+)
+from openmrs_module_epts_etl_spark.functions.vector import (
+    brute_force_cosine_topk,
+    lsh_bucketed_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "as morning light spills across the wooden floor and the kettle "
+    "whistles softly in the kitchen where fresh bread cools on a rack "
+    "beside the open window letting in the scent of rain soaked earth"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup
+        (2, BASE.replace("lazy", "sleepy")),  # near dup
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning iceberg tables and merges"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = minhash_signatures(sh, num_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (0, 1) in found  # exact dup always collides
+    assert (0, 2) in found or (1, 2) in found  # near dup caught by some band
+    assert (3, 4) not in found  # unrelated docs don't collide
+    sims = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_similarity(sigs, pairs, num_hashes=16).collect()
+    }
+    assert sims[(0, 1)] == 1.0
+
+
+def test_simhash_near_pairs(docs):
+    sh = word_shingles(docs, "doc_id", "text", n=3)
+    sigs = simhash(sh)
+    near = {(r.id_a, r.id_b): r.hamming for r in simhash_near_pairs(sigs, max_hamming=10).collect()}
+    assert near.get((0, 1)) == 0  # identical docs → identical simhash
+    assert (0, 2) in near  # near dup within hamming budget
+    assert (3, 4) not in near
+
+
+def test_ann_lsh_recall_vs_brute_force(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(200, 16)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_cosine_topk(emb, queries, k=5)
+    # 4 planes on 200 vectors → ~12 per bucket; 1-bit multi-probe widens to ~60
+    approx = lsh_bucketed_topk(emb, queries, dim=16, k=5, n_planes=4)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_brute_force_topk_shape(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = brute_force_cosine_topk(emb, emb.filter("vec_id = 0"), k=3).collect()
+    assert len(out) == 3
+    assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
+    assert [r.rank for r in out] == [1, 2, 3]

@@ -1,0 +1,104 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days
+
+
+SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(spark, n, day="2026-01-01"):
+    import datetime as dt
+
+    base = dt.datetime.fromisoformat(f"{day} 00:00:00")
+    return [
+        (f"conv-{i % 5}", i, f"text-{i}", base + dt.timedelta(seconds=i)) for i in range(n)
+    ]
+
+
+def test_create_read_empty(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [days("ts"), bucket(4, "conv_id")])
+    assert t.version == 0
+    assert t.read().count() == 0
+    assert t.read().schema == SCHEMA
+
+
+def test_append_and_snapshot_isolation(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [days("ts"), bucket(4, "conv_id")])
+    t.append(_df(spark, _rows(spark, 10)))
+    assert t.version == 1
+    assert t.read().count() == 10
+    t.append(_df(spark, _rows(spark, 5, day="2026-01-02")))
+    assert t.read().count() == 15
+    # time travel: version 1 still sees 10 rows
+    t1 = LakeTable(spark, t.path, version=1)
+    assert t1.read().count() == 10
+
+
+def test_partition_layout_and_pruning(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [days("ts"), bucket(4, "conv_id")])
+    t.append(_df(spark, _rows(spark, 20, day="2026-01-01")))
+    t.append(_df(spark, _rows(spark, 20, day="2026-01-02")))
+    days_seen = {f.partition["ts_day"] for f in t.files}
+    assert days_seen == {"2026-01-01", "2026-01-02"}
+    pruned = t.read(partition_filter=lambda p: p["ts_day"] == "2026-01-01")
+    assert pruned.count() == 20
+    # partition values are derivable from data columns (hidden partitioning)
+    assert pruned.select(F.date_format("ts", "yyyy-MM-dd").alias("d")).distinct().collect()[0][
+        "d"
+    ] == "2026-01-01"
+
+
+def test_additive_schema_evolution(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [days("ts")])
+    t.append(_df(spark, _rows(spark, 5)))
+    wider = StructType(SCHEMA.fields + [StructField("meta_tokens", IntegerType())])
+    new_rows = [(f"conv-x", i, f"t{i}", None, 42) for i in range(3)]
+    df2 = spark.createDataFrame(
+        [(c, i, s, __import__("datetime").datetime(2026, 1, 3), m) for c, i, s, _, m in new_rows],
+        wider,
+    )
+    evolved = t.evolved_schema(df2.schema)
+    assert [f.name for f in evolved.fields][-1] == "meta_tokens"
+    t.append(df2)
+    out = t.read()
+    assert "meta_tokens" in out.columns
+    assert out.filter(F.col("meta_tokens").isNull()).count() == 5  # old files → null
+    assert out.filter(F.col("meta_tokens") == 42).count() == 3
+
+
+def test_non_additive_evolution_rejected(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    bad = StructType(
+        [StructField("conv_id", IntegerType())]  # type change
+    )
+    with pytest.raises(ValueError, match="non-additive"):
+        t.evolved_schema(bad)
+
+
+def test_epoch_fencing(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    t.append(_df(spark, _rows(spark, 3)), epoch={"fence_key": "run1", "epoch_id": 7})
+    assert t.epoch_already_applied("run1", 7)
+    assert not t.epoch_already_applied("run1", 8)
+    assert not t.epoch_already_applied("run2", 7)

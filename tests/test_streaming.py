@@ -1,0 +1,76 @@
+"""Structured Streaming path: readStream over the feed directory →
+foreachBatch MERGE, resume from Spark checkpoint, fence on replay."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+from openmrs_module_epts_etl_spark.cdc import FeedSpec, generate_feed, transcript_schema
+from openmrs_module_epts_etl_spark.cdc.generator import write_feed_batches
+from openmrs_module_epts_etl_spark.cdc.schemas import event_schema
+from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days
+from openmrs_module_epts_etl_spark.streaming import StreamingCdcRunner
+
+from test_cdc_pipeline import assert_state_matches
+
+SPEC = FeedSpec(n_events=3000, n_convs=30, max_turns=15, out_of_order_window=200)
+
+
+@pytest.fixture(scope="module")
+def feed_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("feed"))
+    df = generate_feed(spark, SPEC)
+    write_feed_batches(df, d, batch_size=500)
+    return d
+
+
+def _runner(spark, feed_dir, tpath, ck):
+    schema = event_schema(False)
+    from pyspark.sql.types import LongType, StructField
+
+    schema = schema.add(StructField("delivery_seq", LongType()))
+    return StreamingCdcRunner(
+        spark, feed_dir, schema, tpath, ck, max_files_per_trigger=2
+    )
+
+
+def test_streaming_replay_matches_oracle(spark, tmp_path, feed_dir):
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), [days("ts"), bucket(8, "conv_id")]
+    )
+    runner = _runner(spark, feed_dir, t.path, str(tmp_path / "ck"))
+    results = runner.run_available_now()
+    assert len(results) >= 2  # several micro-batches
+    feed_pd = spark.read.parquet(feed_dir).drop("delivery_seq", "__batch").toPandas()
+    assert_state_matches(t.refresh(), feed_pd, ["role", "text", "tool", "ts"])
+
+
+def test_streaming_resume_and_fence(spark, tmp_path, feed_dir):
+    """Restarting the stream on the same checkpoint processes only new files;
+    wiping the checkpoint but keeping the table → every epoch fenced."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), [days("ts"), bucket(8, "conv_id")]
+    )
+    ck = str(tmp_path / "ck")
+    r1 = _runner(spark, feed_dir, t.path, ck)
+    r1.run_available_now()
+    v = t.refresh().version
+
+    # restart on same checkpoint: nothing new to process
+    r2 = _runner(spark, feed_dir, t.path, ck)
+    out2 = r2.run_available_now()
+    assert all(r.skipped_epoch or r.rows_changed == 0 for r in out2)
+    assert t.refresh().version == v or all(r.skipped_epoch for r in out2)
+
+    # wipe Spark checkpoint (simulates losing it): commit-log fence holds iff
+    # epoch ids realign — they do with availableNow from scratch
+    shutil.rmtree(ck)
+    r3 = _runner(spark, feed_dir, t.path, ck)
+    out3 = r3.run_available_now()
+    assert all(r.skipped_epoch for r in out3)
+    assert t.refresh().version == v
