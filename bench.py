@@ -66,7 +66,7 @@ def bench_cdc(cores: int, n_events: int, work_root: str) -> dict:
             PipelineConfig(
                 table_path=tpath,
                 checkpoint_dir=os.path.join(work, "ck"),
-                batch_size=max(n_events // 8, 10_000),
+                batch_size=max(n_events // 4, 10_000),
             ),
         )
         t0 = time.perf_counter()
@@ -152,19 +152,29 @@ def main() -> None:
         },
     }
 
+    qrows = "".join(f"| {k} | {v} |\n" for k, v in queries.items())
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as fh:
         fh.write(
-            "# BENCH — measured locally by bench.py\n\n"
-            "## CDC replay throughput (north rule: two parallelism levels, identical input)\n\n"
-            "| parallelism | events | wall (s) | events/sec |\n|---|---|---|---|\n"
-            f"| local[{lo['cores']}] | {lo['events']} | {lo['wall_sec']} | {lo['events_per_sec']} |\n"
-            f"| local[{hi['cores']}] | {hi['events']} | {hi['wall_sec']} | {hi['events_per_sec']} |\n\n"
-            f"**Scaling efficiency N→4N: {efficiency}** (target ≥ 0.8 per BASELINE.json)\n\n"
-            f"Feed: {n_events} events, 30% hot-key skew on 3 conversations, out-of-order window 50k,\n"
-            "mid-stream schema evolution at the halfway lsn, deletes+reinserts included.\n\n"
-            "## Headline queries (sf=%s, local[%d]) — seconds\n\n" % (sf, cpus)
-            + "| query | sec |\n|---|---|\n"
-            + "".join(f"| {k} | {v} |\n" for k, v in queries.items())
+            f"""# BENCH — measured locally by bench.py
+
+## CDC replay throughput (north rule: two parallelism levels, identical input)
+
+| parallelism | events | wall (s) | events/sec |
+|---|---|---|---|
+| local[{lo['cores']}] | {lo['events']} | {lo['wall_sec']} | {lo['events_per_sec']} |
+| local[{hi['cores']}] | {hi['events']} | {hi['wall_sec']} | {hi['events_per_sec']} |
+
+**Scaling efficiency N→4N: {efficiency}** (target >= 0.8 per BASELINE.json)
+
+Feed: {n_events} events, 30 percent hot-key skew on 3 conversations,
+out-of-order window 50k, mid-stream schema evolution at the halfway lsn,
+deletes+reinserts included.
+
+## Headline queries (sf={sf}, local[{cpus}]) — seconds
+
+| query | sec |
+|---|---|
+{qrows}"""
         )
 
     print(json.dumps(result))

@@ -86,7 +86,25 @@ def merge_into(
     # ---- 1. per-key winner for this batch -----------------------------------
     batch = dedupe_latest(events, key=key).persist()
     try:
-        batch_rows = batch.count()
+        spec_early = table.partition_spec
+        key_derived_early = [p for p in spec_early if p.source in key]
+        # one job: batch row count + the touched bucket values (scan pruning
+        # hints) — avoids a separate count() round trip per epoch
+        if key_derived_early:
+            hint_rows = (
+                batch.groupBy(
+                    *[
+                        F.coalesce(p.expr_fn(p.source).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")).alias(p.name)
+                        for p in key_derived_early
+                    ]
+                )
+                .count()
+                .collect()
+            )
+            batch_rows = sum(r["count"] for r in hint_rows)
+        else:
+            hint_rows = None
+            batch_rows = batch.count()
         if batch_rows == 0:
             commit = table.commit([], epoch=epoch, metrics={"applied": {}, "by_partition": []})
             return MergeResult(commit=commit, applied={})
@@ -117,21 +135,9 @@ def merge_into(
             ]
 
         # ---- 3. bucket pruning from the batch alone ---------------------------
-        key_derived = [p for p in spec if p.source in key]
+        key_derived = key_derived_early
         candidate_files = table.files
-        if key_derived and candidate_files:
-            hint_rows = (
-                batch.select(
-                    *[
-                        F.coalesce(p.expr_fn(p.source).cast("string"), F.lit(HIVE_NULL)).alias(
-                            p.name
-                        )
-                        for p in key_derived
-                    ]
-                )
-                .distinct()
-                .collect()
-            )
+        if key_derived and candidate_files and hint_rows is not None:
             hints = {tuple(r[p.name] for p in key_derived) for r in hint_rows}
             candidate_files = [
                 f

@@ -110,6 +110,7 @@ class LakeTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self._commit = self._load_commit(version)
+        self._fences: set[tuple] | None = None
 
     # ------------------------------------------------------------- creation
     @staticmethod
@@ -181,12 +182,17 @@ class LakeTable:
         return [self._load_commit(v) for v in self._versions()]
 
     def epoch_already_applied(self, fence_key: str, epoch_id: int) -> bool:
-        """Exactly-once fence: True iff some commit already recorded this epoch."""
-        for c in self.history():
-            e = c.epoch
-            if e and e.get("fence_key") == fence_key and e.get("epoch_id") == epoch_id:
-                return True
-        return False
+        """Exactly-once fence: True iff some commit already recorded this
+        epoch. The fence set is cached in-memory and extended on commit, so a
+        long-running pipeline pays the full commit-log scan once, not per
+        epoch (the log itself stays the durable source of truth)."""
+        if self._fences is None:
+            self._fences = set()
+            for c in self.history():
+                e = c.epoch
+                if e and e.get("fence_key") is not None:
+                    self._fences.add((e["fence_key"], e.get("epoch_id")))
+        return (fence_key, epoch_id) in self._fences
 
     # ----------------------------------------------------------------- read
     def read(
@@ -246,6 +252,13 @@ class LakeTable:
             pname = f"__p_{p.name}"
             writer = writer.withColumn(pname, p.expr_fn(p.source))
             pnames.append(pname)
+        if pnames:
+            # cluster rows by partition value before the partitioned write —
+            # otherwise every task opens a file per partition it sees
+            # (tasks × partitions small files). A small salt keeps a hot
+            # partition writable by several tasks instead of one.
+            salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns[:1]]), F.lit(4))
+            writer = writer.repartition(*[F.col(p) for p in pnames], salt)
         w = writer.write.mode("append")
         if pnames:
             w = w.partitionBy(*pnames)
@@ -295,6 +308,8 @@ class LakeTable:
         )
         self._write_commit(self.path, c)
         self._commit = c
+        if epoch and epoch.get("fence_key") is not None and self._fences is not None:
+            self._fences.add((epoch["fence_key"], epoch.get("epoch_id")))
         return c
 
     @staticmethod

@@ -287,7 +287,66 @@ FROM b GROUP BY bucket
 HAVING (MAX(id) - MIN(id) + 1) - COUNT(DISTINCT id) > 0
 """
 
+def urgent_or_building_orders(spark: SparkSession, sf: str) -> DataFrame:
+    """selfJoinTables filter-join (EtlDatabaseObjectSearchParams.java:44-91):
+    LEFT aux branches OR-combined — an order passes if it's urgent OR its
+    customer is in BUILDING; aux tables contribute predicates only."""
+    from ..operators.joins import filter_join
+
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("u_orderkey")
+    )
+    building = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("b_custkey")
+    )
+    out = filter_join(
+        orders,
+        [
+            (urgent, [F.col("o_orderkey") == F.col("u_orderkey")], "left"),
+            (building, [F.col("o_custkey") == F.col("b_custkey")], "left"),
+        ],
+    )
+    return out.select("o_orderkey").distinct()
+
+
+URGENT_OR_BUILDING_SQL = """
+SELECT DISTINCT o_orderkey FROM orders
+WHERE o_orderpriority = '1-URGENT'
+   OR EXISTS (SELECT 1 FROM customer
+              WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+"""
+
+
+def orders_with_nation_defaults(spark: SparkSession, sf: str) -> DataFrame:
+    """Parent-lookup broadcast join with defaultValueDueInconsistency
+    (LoadRecord.java:230-304): resolve customer→nation, default 'UNKNOWN'."""
+    from ..operators.joins import lookup_join
+
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = t(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    step1 = lookup_join(orders, cust, ["o_custkey"], default_values={})
+    step2 = lookup_join(step1, nation, ["c_nationkey"], default_values={"n_name": "UNKNOWN"})
+    return step2.groupBy("n_name").agg(F.count("*").alias("n_orders"))
+
+
+ORDERS_NATION_DEFAULTS_SQL = """
+SELECT COALESCE(n_name, 'UNKNOWN') AS n_name, COUNT(*) AS n_orders
+FROM orders
+LEFT JOIN customer ON c_custkey = o_custkey
+LEFT JOIN nation ON n_nationkey = c_nationkey
+GROUP BY 1
+"""
+
+
 QUERIES = {
+    "urgent_or_building_orders": urgent_or_building_orders,
+    "orders_with_nation_defaults": orders_with_nation_defaults,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
     "q5_local_supplier_volume": q5_local_supplier_volume,
@@ -303,6 +362,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "urgent_or_building_orders": URGENT_OR_BUILDING_SQL,
+    "orders_with_nation_defaults": ORDERS_NATION_DEFAULTS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q5_local_supplier_volume": Q5_SQL,
