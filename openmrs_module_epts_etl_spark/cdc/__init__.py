@@ -1,7 +1,13 @@
-from .schemas import EVENT_SCHEMA, EVENT_SCHEMA_EVOLVED, TRANSCRIPT_KEY, transcript_schema
+from .schemas import (
+    EVENT_SCHEMA,
+    EVENT_SCHEMA_EVOLVED,
+    TRANSCRIPT_KEY,
+    event_schema,
+    transcript_schema,
+)
 from .generator import FeedSpec, generate_feed
 from .dedupe import dedupe_latest, dedupe_latest_salted
-from .merge import MergeResult, merge_into, vacuum_tombstones
+from .merge import MergeResult, compact, merge_into, vacuum_tombstones
 from .pipeline import CdcPipeline, PipelineConfig
 from .oracle import expected_state_pandas, expected_state_sql
 
@@ -10,6 +16,7 @@ __all__ = [
     "EVENT_SCHEMA_EVOLVED",
     "TRANSCRIPT_KEY",
     "transcript_schema",
+    "event_schema",
     "FeedSpec",
     "generate_feed",
     "dedupe_latest",
@@ -17,6 +24,7 @@ __all__ = [
     "MergeResult",
     "merge_into",
     "vacuum_tombstones",
+    "compact",
     "CdcPipeline",
     "PipelineConfig",
     "expected_state_pandas",

@@ -20,30 +20,43 @@ Semantics (the heart of the reference, re-expressed — SURVEY.md §2.9):
   compare against. Tombstones are invisible to user reads and are GC'd by
   :func:`vacuum_tombstones` once older than the feed's out-of-order horizon.
 
-Physical plan (designed for a 1000-executor cluster / 100 TB table):
+Physical plan (designed for a 1000-executor cluster / 100 TB table) — exactly
+three Spark jobs per epoch, so the driver-side constant cost stays far below
+the distributed work and N→4N scaling holds:
 
-1. dedupe the batch per key with map-side-combining ``max_by`` (skew-safe);
-2. **bucket pruning**: conv_id buckets are recomputable from the events alone,
-   so the target scan is restricted to the touched buckets before any I/O;
-3. find affected (ts_day, bucket) partitions with a **left-semi join** of the
-   pruned target against the batch keys (broadcast when the batch is small);
-4. rewrite only files in affected partitions. The merge itself is expressed as
-   dst-LEFT-JOIN-batch (keep/update/delete/stale) UNION batch-ANTI-dst
-   (insert) — deliberately *not* a full-outer join, because full-outer cannot
-   use a broadcast hash join in Spark; with the two-join form the big side
-   (the table) never shuffles when the batch broadcasts.
-5. per-partition lineage + applied/skipped metrics are aggregated from the
-   action-tagged frame and stored in the commit (analog of the dst-stage
-   ``conflict_resolution_type`` column and the progress meter,
-   api:conf/interfaces/TableConfiguration.java:2343-2380;
-   api:engine/EtlProgressMeter.java:39-96).
+1. **hint job**: per-bucket counts of the deduped batch (map-side-combined
+   ``max_by`` dedupe, skew-safe) → batch size + the conv_id buckets it
+   touches. Bucket values are recomputable from the events alone, so the
+   target scan is pruned to the touched buckets before any I/O.
+2. **planning job**: one column-pruned semi-join of the pruned target against
+   the batch keys (broadcast when the batch is small) yields, in a single
+   pass, (a) the affected (ts_day, bucket) partitions whose files must be
+   rewritten and (b) the set of matched keys. The matched-key set — persisted,
+   ≤ batch size — replaces a second full anti-join scan of the target for
+   insert detection.
+3. **write job**: the merge is dst-LEFT-JOIN-batch (keep/update/delete/stale)
+   UNION batch-ANTI-matched-keys (insert) — deliberately *not* a full-outer
+   join, because full-outer cannot use a broadcast hash join; with this form
+   the big side (the table) **never shuffles**: dst files are partition-pure,
+   so rewritten rows pass straight through to the partitioned writer with no
+   exchange, exactly like Iceberg's copy-on-write MERGE. Only the small
+   insert branch is shuffled (clustered by partition value). Applied/skipped
+   metrics ride on this job via ``Observation`` — no separate metrics pass.
+
+Per-partition lineage + applied/skipped metrics are stored in the commit
+(analog of the dst-stage ``conflict_resolution_type`` column and the progress
+meter, api:conf/interfaces/TableConfiguration.java:2343-2380;
+api:engine/EtlProgressMeter.java:39-96).
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -51,8 +64,15 @@ from ..lake.table import Commit, LakeTable
 from .dedupe import dedupe_latest
 from .schemas import TRANSCRIPT_KEY, payload_columns
 
-BROADCAST_BATCH_MAX_ROWS = 4_000_000  # ~hundreds of MB of keys+payload; tune per cluster
+# Keys-only frames (a few tens of bytes/row) are broadcast up to this many
+# rows; the full payload batch is left to AQE, which converts the join to
+# broadcast at runtime iff the actual batch bytes are under the threshold —
+# force-broadcasting a multi-hundred-MB payload serializes epoch time on the
+# driver-side relation build and does not scale with executors.
+BROADCAST_KEYS_MAX_ROWS = 4_000_000
 ACTIONS = ("insert", "update", "delete", "delete_new", "keep", "stale_skip")
+CHANGE_ACTIONS = ("insert", "update", "delete", "delete_new")
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
 
 @dataclass
@@ -61,10 +81,11 @@ class MergeResult:
     applied: dict[str, int] = field(default_factory=dict)
     by_partition: list[dict] = field(default_factory=list)
     skipped_epoch: bool = False
+    timings: dict[str, float] = field(default_factory=dict)
 
     @property
     def rows_changed(self) -> int:
-        return sum(self.applied.get(a, 0) for a in ("insert", "update", "delete", "delete_new"))
+        return sum(self.applied.get(a, 0) for a in CHANGE_ACTIONS)
 
 
 def merge_into(
@@ -76,6 +97,8 @@ def merge_into(
     max_partition_metrics: int = 1024,
 ) -> MergeResult:
     key = key or TRANSCRIPT_KEY
+    timings: dict[str, float] = {}
+    t_start = time.perf_counter()
 
     # ---- exactly-once fence ------------------------------------------------
     if fence_key is not None and epoch_id is not None:
@@ -83,46 +106,13 @@ def merge_into(
             return MergeResult(commit=None, skipped_epoch=True)
     epoch = {"fence_key": fence_key, "epoch_id": epoch_id} if fence_key is not None else None
 
-    # ---- 1. per-key winner for this batch -----------------------------------
+    # ---- job 1: per-key winner + bucket hints -------------------------------
     batch = dedupe_latest(events, key=key).persist()
+    m = None
     try:
-        spec_early = table.partition_spec
-        key_derived_early = [p for p in spec_early if p.source in key]
-        # one job: batch row count + the touched bucket values (scan pruning
-        # hints) — avoids a separate count() round trip per epoch
-        if key_derived_early:
-            hint_rows = (
-                batch.groupBy(
-                    *[
-                        F.coalesce(p.expr_fn(p.source).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")).alias(p.name)
-                        for p in key_derived_early
-                    ]
-                )
-                .count()
-                .collect()
-            )
-            batch_rows = sum(r["count"] for r in hint_rows)
-        else:
-            hint_rows = None
-            batch_rows = batch.count()
-        if batch_rows == 0:
-            commit = table.commit([], epoch=epoch, metrics={"applied": {}, "by_partition": []})
-            return MergeResult(commit=commit, applied={})
-
-        # ---- 2. additive schema evolution -----------------------------------
-        pay_cols = payload_columns(events.schema)
-        incoming = StructType([events.schema[c] for c in pay_cols])
-        new_schema = table.evolved_schema(incoming)
-        if new_schema is not None:
-            # publish the widened schema on this commit; reads fill nulls
-            table._commit.schema_json = new_schema.json()
-        schema = table.schema
-        table_cols = [f.name for f in schema.fields]
-
         spec = table.partition_spec
         part_names = [p.name for p in spec]
-
-        HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+        key_derived = [p for p in spec if p.source in key]
 
         def part_exprs(prefix: str = ""):
             # null partition values are hive-encoded in file paths; normalize
@@ -134,8 +124,38 @@ def merge_into(
                 for p in spec
             ]
 
-        # ---- 3. bucket pruning from the batch alone ---------------------------
-        key_derived = key_derived_early
+        # one aggregation job returns, at once: batch row count, the touched
+        # key-derived partition values (bucket-prune hints), and the partition
+        # tuples that inserts may land in — no separate distinct/collect jobs
+        hint_rows = (
+            batch.groupBy(
+                *part_exprs(), (F.col("op") != "D").alias("__ins")
+            )
+            .count()
+            .collect()
+            if spec
+            else None
+        )
+        if hint_rows is not None:
+            batch_rows = sum(r["count"] for r in hint_rows)
+        else:
+            batch_rows = batch.count()
+        timings["hint"] = time.perf_counter() - t_start
+        if batch_rows == 0:
+            commit = table.commit([], epoch=epoch, metrics={"applied": {}, "by_partition": []})
+            return MergeResult(commit=commit, applied={}, timings=timings)
+
+        # ---- additive schema evolution --------------------------------------
+        pay_cols = payload_columns(events.schema)
+        incoming = StructType([events.schema[c] for c in pay_cols])
+        new_schema = table.evolved_schema(incoming)
+        if new_schema is not None:
+            # publish the widened schema on this commit; reads fill nulls
+            table._commit.schema_json = new_schema.json()
+        schema = table.schema
+        table_cols = [f.name for f in schema.fields]
+
+        # ---- bucket pruning from the batch alone ----------------------------
         candidate_files = table.files
         if key_derived and candidate_files and hint_rows is not None:
             hints = {tuple(r[p.name] for p in key_derived) for r in hint_rows}
@@ -145,37 +165,48 @@ def merge_into(
                 if tuple(f.partition.get(p.name) for p in key_derived) in hints
             ]
 
-        maybe_bcast = F.broadcast if batch_rows <= BROADCAST_BATCH_MAX_ROWS else (lambda d: d)
+        bcast_keys = F.broadcast if batch_rows <= BROADCAST_KEYS_MAX_ROWS else (lambda d: d)
 
-        # ---- 4. affected partitions: semi-join pruned target vs batch keys ----
+        # ---- job 2: planning semi-join — affected partitions + matched keys --
+        t0 = time.perf_counter()
         target = table.read(files=candidate_files, include_hidden=True)
-        batch_keys = batch.select(*key).distinct()
-        matched_parts = (
-            target.join(maybe_bcast(batch_keys), on=key, how="left_semi")
-            .select(*part_exprs())
-            .distinct()
+        batch_keys = batch.select(*key)  # already key-unique after dedupe
+        # column-pruned scan: only key + partition-source columns are read
+        m = (
+            target.join(bcast_keys(batch_keys), on=key, how="left_semi")
+            .select(*key, *part_exprs())
+            .persist()
         )
-        insert_parts = batch.filter(F.col("op") != "D").select(*part_exprs()).distinct()
-        affected = {
-            tuple(r[n] for n in part_names)
-            for r in matched_parts.unionByName(insert_parts).distinct().collect()
-        } if spec else {()}
+        if spec:
+            insert_parts = {
+                tuple(r[n] for n in part_names) for r in hint_rows if r["__ins"]
+            }
+            matched_parts = {
+                tuple(r[n] for n in part_names)
+                for r in m.select(*part_names).distinct().collect()
+            }
+            affected = matched_parts | insert_parts
+        else:
+            affected = {()}
+        timings["plan"] = time.perf_counter() - t0
 
-        rewrite_files = [
-            f
-            for f in candidate_files
-            if tuple(f.partition.get(n) for n in part_names) in affected
-        ] if spec else candidate_files
+        rewrite_files = (
+            [
+                f
+                for f in candidate_files
+                if tuple(f.partition.get(n) for n in part_names) in affected
+            ]
+            if spec
+            else candidate_files
+        )
 
-        # ---- 5. merge: dst LEFT JOIN batch ∪ batch ANTI dst --------------------
+        # ---- job 3: merge + write + metrics in ONE pass -----------------------
+        t0 = time.perf_counter()
         dst = table.read(files=rewrite_files, include_hidden=True).alias("d")
-        src_payload = [F.col(f"s.{c}").alias(c) for c in pay_cols if c in table_cols]
-        # evolution gap: table may have columns the batch lacks (never happens
-        # additively, but guard), and vice versa is handled by evolved_schema.
         s = batch.alias("s")
         cond = [F.col(f"d.{k}") == F.col(f"s.{k}") for k in key]
 
-        joined = dst.join(maybe_bcast(s), on=cond, how="left")
+        joined = dst.join(s, on=cond, how="left")  # AQE picks broadcast iff small
         has_src = F.col("s.lsn").isNotNull()
         newer = has_src & (F.col("s.lsn") > F.coalesce(F.col("d._lsn"), F.lit(-1)))
         action_matched = (
@@ -214,9 +245,11 @@ def merge_into(
             *[pick(c) for c in table_cols], F.col("__action")
         )
 
-        inserts_src = batch.alias("s").join(dst.select(*key).alias("d"), on=cond, how="left_anti")
-        # unmatched delete still writes a tombstone: the key may get a stale
-        # out-of-order insert in a later epoch, which must be fenced by lsn
+        # insert detection against the persisted matched-key set — no second
+        # scan of the target. An unmatched delete still writes a tombstone:
+        # the key may get a stale out-of-order insert in a later epoch, which
+        # must be fenced by lsn.
+        inserts_src = batch.join(bcast_keys(m.select(*key)), on=key, how="left_anti")
         action_new = F.when(F.col("op") == "D", F.lit("delete_new")).otherwise(F.lit("insert"))
 
         def pick_new(c: str):
@@ -236,51 +269,62 @@ def merge_into(
                 out = F.lit(None)
             return out.cast(schema[c].dataType).alias(c)
 
-        from_src = inserts_src.select(*[pick_new(c) for c in table_cols], action_new.alias("__action"))
+        from_src = inserts_src.select(
+            *[pick_new(c) for c in table_cols], action_new.alias("__action")
+        )
 
-        merged = from_dst.unionByName(from_src).persist()
-        try:
-            # ---- lineage + metrics (per partition, per action) ----------------
-            stats = (
-                merged.groupBy(*part_exprs(), F.col("__action"))
-                .count()
-                .collect()
+        obs = Observation()
+        merged = from_dst.unionByName(from_src).observe(
+            obs, *[F.count_if(F.col("__action") == a).alias(a) for a in ACTIONS]
+        )
+
+        # arranged write: one exchange clustering by partition value, AQE
+        # coalescing small partitions — every rewrite resets a partition's
+        # file count, so file granularity can't snowball across epochs (the
+        # exchange-free alternative preserves input file counts and grows
+        # them with every epoch's inserts — measurably worse past a few
+        # epochs without a compaction pass)
+        added, rel_dir = table.write_data_files(merged.drop("__action"), arrange=True)
+        applied = {a: int(v) for a, v in obs.get.items() if v}
+        timings["write"] = time.perf_counter() - t0
+
+        # ---- per-partition lineage from the new manifest ----------------------
+        by_partition: list[dict] = []
+        part_agg: dict[tuple, dict] = {}
+        for f in added:
+            k = tuple(f.partition.get(n) for n in part_names)
+            e = part_agg.setdefault(k, {"rows": 0, "files": 0})
+            e["rows"] += f.rows
+            e["files"] += 1
+        for k, e in sorted(part_agg.items()):
+            if len(by_partition) >= max_partition_metrics:
+                break
+            by_partition.append(
+                {"partition": dict(zip(part_names, k)), "rows": e["rows"], "files": e["files"]}
             )
-            applied: dict[str, int] = {}
-            by_partition: list[dict] = []
-            for r in stats:
-                applied[r["__action"]] = applied.get(r["__action"], 0) + r["count"]
-                if len(by_partition) < max_partition_metrics:
-                    by_partition.append(
-                        {
-                            "partition": {n: r[n] for n in part_names},
-                            "action": r["__action"],
-                            "rows": r["count"],
-                        }
-                    )
+        metrics = {"applied": applied, "by_partition": by_partition}
 
-            if not any(applied.get(a) for a in ("insert", "update", "delete", "delete_new")):
-                # nothing changed — metadata-only commit records the fence
-                commit = table.commit(
-                    [], epoch=epoch, new_schema=new_schema,
-                    metrics={"applied": applied, "by_partition": by_partition},
-                )
-                return MergeResult(commit=commit, applied=applied, by_partition=by_partition)
+        if not any(applied.get(a) for a in CHANGE_ACTIONS):
+            # nothing changed — drop the identical rewrite, record the fence
+            # in a metadata-only commit (rare: pure-stale / pure-keep epoch)
+            shutil.rmtree(os.path.join(table.path, rel_dir), ignore_errors=True)
+            commit = table.commit([], epoch=epoch, new_schema=new_schema, metrics=metrics)
+            return MergeResult(commit=commit, applied=applied, timings=timings)
 
-            # every action survives: deletes persist as tombstone rows
-            survivors = merged.drop("__action")
-
-            commit = table.overwrite_partitions(
-                survivors,
-                replaced=rewrite_files,
-                epoch=epoch,
-                new_schema=new_schema,
-                metrics={"applied": applied, "by_partition": by_partition},
-            )
-            return MergeResult(commit=commit, applied=applied, by_partition=by_partition)
-        finally:
-            merged.unpersist()
+        commit = table.commit(
+            added,
+            remove_paths={f.path for f in rewrite_files},
+            epoch=epoch,
+            new_schema=new_schema,
+            metrics=metrics,
+        )
+        timings["total"] = time.perf_counter() - t_start
+        return MergeResult(
+            commit=commit, applied=applied, by_partition=by_partition, timings=timings
+        )
     finally:
+        if m is not None:
+            m.unpersist()
         batch.unpersist()
 
 
@@ -295,16 +339,49 @@ def vacuum_tombstones(table: LakeTable, min_lsn_keep: int) -> Commit | None:
     (api:engine/Engine.java:367-406).
     """
     expired = F.coalesce(F.col("_deleted"), F.lit(False)) & (F.col("_lsn") < min_lsn_keep)
-    # driver-side: find files containing expired tombstones (per-file scan is
-    # metadata-cheap: predicate pushdown on _deleted/_lsn prunes row groups)
-    dirty: list = []
-    for f in table.files:
-        df = table.read(files=[f], include_hidden=True)
-        if df.filter(expired).limit(1).count() > 0:
-            dirty.append(f)
+    # ONE distributed job finds every file containing an expired tombstone
+    # (predicate pushdown on _deleted/_lsn prunes row groups; only file names
+    # of actual hits reach the driver)
+    hits = (
+        table.read(include_hidden=True)
+        .filter(expired)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    )
+    dirty_paths = {os.path.relpath(r["f"].removeprefix("file://"), table.path) for r in hits}
+    dirty = [f for f in table.files if f.path in dirty_paths]
     if not dirty:
         return None
     keep = table.read(files=dirty, include_hidden=True).filter(~expired)
     return table.overwrite_partitions(
         keep, replaced=dirty, metrics={"applied": {"vacuumed_files": len(dirty)}}
+    )
+
+
+def compact(
+    table: LakeTable, target_rows_per_file: int = 1_000_000, min_files: int = 4
+) -> Commit | None:
+    """Bin-pack small files: partitions whose file count exceeds what their
+    row count warrants are rewritten into ~``target_rows_per_file`` files.
+    The analog of Iceberg's rewrite_data_files maintenance action — run it
+    periodically (the streaming runner does not need it: the arranged merge
+    write already resets file granularity per rewrite, but append-heavy /
+    exchange-free flows fragment over time)."""
+    by_part: dict[tuple, list] = {}
+    spec = table.partition_spec
+    names = [p.name for p in spec]
+    for f in table.files:
+        by_part.setdefault(tuple(f.partition.get(n) for n in names), []).append(f)
+    victims: list = []
+    for _, files in by_part.items():
+        rows = sum(f.rows for f in files)
+        want = max(1, -(-rows // target_rows_per_file))
+        if len(files) >= min_files and len(files) > want:
+            victims.extend(files)
+    if not victims:
+        return None
+    data = table.read(files=victims, include_hidden=True)
+    return table.overwrite_partitions(
+        data, replaced=victims, metrics={"applied": {"compacted_files": len(victims)}}
     )

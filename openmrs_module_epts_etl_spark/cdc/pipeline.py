@@ -41,6 +41,9 @@ class PipelineConfig:
     fence_key: str = "cdc-pipeline"
     batch_size: int = 100_000
     key: tuple[str, ...] = tuple(TRANSCRIPT_KEY)
+    # dead-letter table for malformed events (None = strict mode: a malformed
+    # event surfaces as a merge-time error instead of being diverted)
+    quarantine_path: str | None = None
 
 
 class CdcPipeline:
@@ -80,6 +83,11 @@ class CdcPipeline:
         """
         cfg = self.config
         table = LakeTable(self.spark, cfg.table_path)
+        qtable = None
+        if cfg.quarantine_path is not None:
+            from .quarantine import quarantine_table
+
+            qtable = quarantine_table(self.spark, cfg.quarantine_path, feed.drop("delivery_seq").schema)
         bounds = feed.select(
             F.min("delivery_seq").alias("lo"), F.max("delivery_seq").alias("hi")
         ).collect()[0]
@@ -99,6 +107,13 @@ class CdcPipeline:
             batch = feed.filter((F.col("delivery_seq") >= lo) & (F.col("delivery_seq") < hi)).drop(
                 "delivery_seq"
             )
+            if qtable is not None:
+                from .quarantine import append_quarantine, split_quarantine
+
+                batch, bad = split_quarantine(batch, list(cfg.key))
+                append_quarantine(
+                    qtable, bad, epoch_id=epoch, fence_key=cfg.fence_key + "-quarantine"
+                )
             res = merge_into(
                 table,
                 batch,

@@ -226,13 +226,22 @@ class LakeTable:
         return df
 
     # ---------------------------------------------------------------- write
-    def write_data_files(self, df: DataFrame) -> list[DataFile]:
+    def write_data_files(
+        self, df: DataFrame, arrange: bool = True
+    ) -> tuple[list[DataFile], str]:
         """Write a DataFrame as new data files laid out by the partition spec.
+        Returns (files, rel_dir) — rel_dir lets a caller abort by deleting the
+        written directory before anything is committed.
 
         Partition values are *derived* copies (``__p_<name>``) so the original
         columns stay in the parquet files — the hive directory encoding is
         layout only, and any file can be read standalone with the table schema.
         This is a distributed write; the driver only lists results after.
+
+        ``arrange=False`` skips the pre-write repartition for callers whose
+        plan already clusters rows by partition value (e.g. the merge path,
+        whose dst branch is partition-pure per scan task) — the writer then
+        runs exchange-free.
         """
         spec = self.partition_spec
         commit_uuid = uuid.uuid4().hex[:12]
@@ -252,7 +261,7 @@ class LakeTable:
             pname = f"__p_{p.name}"
             writer = writer.withColumn(pname, p.expr_fn(p.source))
             pnames.append(pname)
-        if pnames:
+        if pnames and arrange:
             # cluster rows by partition value before the partitioned write —
             # otherwise every task opens a file per partition it sees
             # (tasks × partitions small files). A small salt keeps a hot
@@ -264,27 +273,35 @@ class LakeTable:
             w = w.partitionBy(*pnames)
         w.parquet(out_dir)
 
-        return self._discover_files(rel_dir, spec)
+        return self._discover_files(rel_dir, spec), rel_dir
 
     def _discover_files(self, rel_dir: str, spec: list[PartitionField]) -> list[DataFile]:
+        from concurrent.futures import ThreadPoolExecutor
+
         import pyarrow.parquet as pq
 
-        out: list[DataFile] = []
+        todo: list[tuple[str, str, dict[str, str]]] = []
         base = os.path.join(self.path, rel_dir)
         for root, _dirs, names in os.walk(base):
+            partition: dict[str, str] = {}
+            for part in os.path.relpath(root, base).split(os.sep):
+                if "=" in part:
+                    k, _, v = part.partition("=")
+                    partition[k.removeprefix("__p_")] = v
             for n in names:
-                if not n.endswith(".parquet"):
-                    continue
-                full = os.path.join(root, n)
-                rel = os.path.relpath(full, self.path)
-                partition: dict[str, str] = {}
-                for part in os.path.relpath(root, base).split(os.sep):
-                    if "=" in part:
-                        k, _, v = part.partition("=")
-                        partition[k.removeprefix("__p_")] = v
-                rows = pq.ParquetFile(full).metadata.num_rows
-                out.append(DataFile(path=rel, partition=partition, rows=rows))
-        return out
+                if n.endswith(".parquet"):
+                    full = os.path.join(root, n)
+                    todo.append((full, os.path.relpath(full, self.path), partition))
+        if not todo:
+            return []
+
+        def load(item) -> DataFile:
+            full, rel, partition = item
+            # footer-only read; parallel because this is pure I/O + C parsing
+            return DataFile(path=rel, partition=partition, rows=pq.ParquetFile(full).metadata.num_rows)
+
+        with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
+            return list(ex.map(load, todo))
 
     def commit(
         self,
@@ -354,7 +371,7 @@ class LakeTable:
         new_schema = self.evolved_schema(df.schema)
         if new_schema is not None:
             self._commit.schema_json = new_schema.json()
-        added = self.write_data_files(df)
+        added, _ = self.write_data_files(df)
         return self.commit(added, epoch=epoch, metrics=metrics, new_schema=new_schema)
 
     def overwrite_partitions(
@@ -367,7 +384,7 @@ class LakeTable:
     ) -> Commit:
         if new_schema is not None:
             self._commit.schema_json = new_schema.json()
-        added = self.write_data_files(df)
+        added, _ = self.write_data_files(df)
         return self.commit(
             added,
             remove_paths={f.path for f in replaced},

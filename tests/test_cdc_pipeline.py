@@ -336,6 +336,8 @@ def test_metrics_and_lineage_recorded(spark, tmp_path, feed):
     commits = [c for c in t.refresh().history() if c.metrics]
     assert commits
     sample = commits[-1].metrics["by_partition"]
-    assert all({"partition", "action", "rows"} <= set(e) for e in sample)
+    assert all({"partition", "rows", "files"} <= set(e) for e in sample)
+    # applied/skipped action counts travel on every data commit
+    assert any(set(c.metrics.get("applied", {})) & {"insert", "update"} for c in commits)
     # epoch fences recorded on every commit
     assert all(c.epoch and c.epoch["fence_key"] == "cdc-pipeline" for c in commits)
