@@ -8,6 +8,7 @@ from .schemas import (
 from .generator import FeedSpec, generate_feed
 from .dedupe import dedupe_latest, dedupe_latest_salted
 from .merge import MergeResult, compact, merge_into, vacuum_tombstones
+from .mor import append_delta, compact_latest, read_state
 from .pipeline import CdcPipeline, PipelineConfig
 from .oracle import expected_state_pandas, expected_state_sql
 
@@ -25,6 +26,9 @@ __all__ = [
     "merge_into",
     "vacuum_tombstones",
     "compact",
+    "append_delta",
+    "compact_latest",
+    "read_state",
     "CdcPipeline",
     "PipelineConfig",
     "expected_state_pandas",

@@ -1,0 +1,156 @@
+"""Merge-on-read (MoR) ingest: append lsn-stamped deltas, resolve at read.
+
+The copy-on-write MERGE (cdc/merge.py) rewrites every affected partition per
+epoch — with hot conversations touching most buckets, that is a near-full
+table rewrite per epoch: write amplification O(table_size × epochs). Real
+10^10-event/day ingest systems (Iceberg v2 equality deletes, Hudi MoR) take
+the dual trade: ingest appends small delta files and defers conflict
+resolution to readers and to a periodic compaction. This module is that dual,
+over the same lake format, same event semantics, same fences:
+
+- **append_delta**: dedupe the batch per key (max_by over lsn — same
+  map-side-combining operator as CoW), stamp ``_lsn``/``_origin``/
+  ``_deleted`` and append. No target scan, no planning join, no rewrite: one
+  shuffle (dedupe) + one clustered write per epoch, which is why ingest
+  scales like the append it is. Epoch fencing is identical to CoW
+  (commit-log (fence_key, epoch_id)), so replays are no-ops.
+- **read_state**: snapshot read = latest row per key by ``_lsn`` with delete
+  tombstones filtered. An out-of-order stale insert arriving *after* a
+  delete loses the max_by to the delete's higher lsn — the same guard CoW
+  enforces at write time, enforced here at read time. Conflict-resolution
+  semantics (newer-wins ≈ observationDateFields,
+  api:model/EtlDatabaseObject.java:677-714) are therefore byte-identical
+  between modes.
+- **compact_latest**: collapse all versions of each key to the winner (one
+  partition-local... shuffle bounded per conv_id bucket since buckets are
+  key-derived), rewriting the table back to one-row-per-key — after which
+  reads are plain scans again. Run every K epochs or by delta-file-count
+  policy; replay-safe via its own fence.
+
+Choosing a mode: CoW when reads dominate and epochs are large; MoR when
+ingest throughput/latency dominates and a compaction window exists. The
+pipeline exposes both (PipelineConfig.mode) over the same feed, table,
+checkpoint, and oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..lake.table import Commit, LakeTable
+from .dedupe import dedupe_latest
+from .merge import MergeResult
+from .schemas import TRANSCRIPT_KEY, payload_columns
+
+
+def append_delta(
+    table: LakeTable,
+    events: DataFrame,
+    key: list[str] | None = None,
+    fence_key: str | None = None,
+    epoch_id: int | None = None,
+    dedupe: bool = False,
+) -> MergeResult:
+    """Apply one epoch as an appended delta. Returns applied counts
+    {delta_upsert, delta_delete} (exact split between insert/update is
+    unknowable without reading the target — that is the point of MoR).
+
+    ``dedupe=False`` (default) appends every event as its own delta row: the
+    read-time / compaction-time max_by over lsn resolves per-key winners
+    anyway, so a per-epoch dedupe is pure compression — it removes the only
+    table-wide shuffle-with-aggregation in the append path (the remaining
+    exchange just clusters rows by partition value for the writer). Enable it
+    when epochs are huge and duplicate-heavy (many updates of the same turn
+    inside one epoch), where fewer delta rows are worth the shuffle."""
+    key = key or TRANSCRIPT_KEY
+    if fence_key is not None and epoch_id is not None:
+        if table.epoch_already_applied(fence_key, epoch_id):
+            return MergeResult(commit=None, skipped_epoch=True)
+    epoch = {"fence_key": fence_key, "epoch_id": epoch_id} if fence_key is not None else None
+
+    batch = dedupe_latest(events, key=key) if dedupe else events
+    is_del = F.col("op") == "D"
+    cols = [F.col(k) for k in key]
+    for c in payload_columns(events.schema):
+        if c in key:
+            continue
+        if c == "ts":
+            # ts persists on delete tombstones for partition placement,
+            # exactly like the CoW path
+            cols.append(F.col(c))
+        else:
+            cols.append(F.when(is_del, F.lit(None)).otherwise(F.col(c)).alias(c))
+    delta = batch.select(
+        *cols,
+        F.col("lsn").alias("_lsn"),
+        F.col("origin").alias("_origin"),
+        is_del.alias("_deleted"),
+    )
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    delta = delta.observe(
+        obs,
+        F.count_if(~F.col("_deleted")).alias("delta_upsert"),
+        F.count_if(F.col("_deleted")).alias("delta_delete"),
+    )
+
+    # additive evolution before the write so new columns survive the
+    # projection to table schema (same order of operations as LakeTable.append)
+    new_schema = table.evolved_schema(delta.schema)
+    if new_schema is not None:
+        table._commit.schema_json = new_schema.json()
+    added, _ = table.write_data_files(delta)
+    applied = {k: int(v) for k, v in obs.get.items() if v}
+    commit = table.commit(
+        added, epoch=epoch, new_schema=new_schema,
+        metrics={"applied": applied, "mode": "mor-delta"},
+    )
+    return MergeResult(commit=commit, applied=applied)
+
+
+def read_state(table: LakeTable, key: list[str] | None = None) -> DataFrame:
+    """User-facing snapshot under MoR: latest version per key, tombstones
+    hidden, engine columns dropped. On a freshly compacted table this
+    degenerates to a plain scan of one row per key (the dedupe is a no-op
+    aggregation over singleton groups)."""
+    key = key or TRANSCRIPT_KEY
+    df = table.read(include_hidden=True)
+    latest = dedupe_latest(df, key=key, order_col="_lsn")
+    alive = latest.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    return alive.select(*[c for c in alive.columns if not c.startswith("_")])
+
+
+def compact_latest(
+    table: LakeTable,
+    key: list[str] | None = None,
+    fence_key: str | None = None,
+    epoch_id: int | None = None,
+    keep_tombstones: bool = True,
+) -> Commit | None:
+    """Collapse every key to its winning version; rewrites the whole current
+    file set (the MoR analog of the CoW epoch rewrite, paid once per K
+    epochs instead of every epoch). Tombstones are kept by default so the
+    lsn fence against stale out-of-order inserts survives compaction; drop
+    them only past the feed's out-of-order horizon (see vacuum_tombstones).
+    """
+    key = key or TRANSCRIPT_KEY
+    if fence_key is not None and epoch_id is not None:
+        if table.epoch_already_applied(fence_key, epoch_id):
+            return None
+    files = table.files
+    if not files:
+        return None
+    df = table.read(files=files, include_hidden=True)
+    winners = dedupe_latest(df, key=key, order_col="_lsn")
+    if not keep_tombstones:
+        winners = winners.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    epoch = {"fence_key": fence_key, "epoch_id": epoch_id} if fence_key is not None else None
+    return table.overwrite_partitions(
+        winners,
+        replaced=files,
+        epoch=epoch,
+        metrics={"applied": {"compacted_files": len(files)}, "mode": "mor-compact"},
+    )

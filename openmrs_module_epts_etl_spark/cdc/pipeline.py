@@ -44,6 +44,11 @@ class PipelineConfig:
     # dead-letter table for malformed events (None = strict mode: a malformed
     # event surfaces as a merge-time error instead of being diverted)
     quarantine_path: str | None = None
+    # "cow": lsn-guarded MERGE rewrite per epoch (read-optimized);
+    # "mor": append lsn-stamped deltas + periodic compaction (ingest-optimized
+    # — see cdc/mor.py; read the table via mor.read_state between compactions)
+    mode: str = "cow"
+    compact_every: int | None = 8  # mor only: compact after every K epochs
 
 
 class CdcPipeline:
@@ -114,13 +119,27 @@ class CdcPipeline:
                 append_quarantine(
                     qtable, bad, epoch_id=epoch, fence_key=cfg.fence_key + "-quarantine"
                 )
-            res = merge_into(
-                table,
-                batch,
-                key=list(cfg.key),
-                fence_key=cfg.fence_key,
-                epoch_id=epoch,
-            )
+            if cfg.mode == "mor":
+                from .mor import append_delta, compact_latest
+
+                res = append_delta(
+                    table, batch, key=list(cfg.key), fence_key=cfg.fence_key, epoch_id=epoch
+                )
+                if cfg.compact_every and (epoch + 1) % cfg.compact_every == 0:
+                    compact_latest(
+                        table,
+                        key=list(cfg.key),
+                        fence_key=cfg.fence_key + "-compact",
+                        epoch_id=epoch,
+                    )
+            else:
+                res = merge_into(
+                    table,
+                    batch,
+                    key=list(cfg.key),
+                    fence_key=cfg.fence_key,
+                    epoch_id=epoch,
+                )
             results.append(res)
             self.save_checkpoint({"last_epoch": epoch})
             if on_batch is not None:

@@ -21,7 +21,8 @@ apply time (EtlDatabaseObject.java:614-726), not at ingest time.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..cdc.merge import merge_into
@@ -62,6 +63,36 @@ class StreamingCdcRunner:
             epoch_id=int(epoch_id),
         )
         self.batch_results.append(res)
+
+    def metrics_stream(
+        self, window: str = "1 minute", watermark: str = "2 minutes"
+    ) -> DataFrame:
+        """Watermarked tumbling-window op counts over the feed — the streaming
+        analog of the reference's progress meter refresh
+        (api:engine/EtlProgressMeter.java:39-96). The watermark bounds this
+        aggregation's state; events later than it drop out of the *metrics*
+        only. Applying the same cutoff to table state would be wrong — late
+        events must still reach the MERGE, where the lsn guard (not event
+        time) decides — which is exactly why dedupe lives in foreachBatch and
+        the watermark lives here. Returns an unstarted streaming DataFrame;
+        the caller picks the sink."""
+        reader = (
+            self.spark.readStream.schema(self.feed_schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.feed_dir)
+        )
+        return (
+            reader.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), F.col("op"))
+            .agg(F.count("*").alias("events"), F.max("lsn").alias("max_lsn"))
+            .select(
+                F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                "op",
+                "events",
+                "max_lsn",
+            )
+        )
 
     def run_available_now(self, await_seconds: int = 600) -> list:
         """Process everything currently in the feed directory and stop —

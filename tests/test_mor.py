@@ -1,0 +1,131 @@
+"""Merge-on-read mode: delta appends + read-time latest-wins must produce the
+exact same table state as the copy-on-write MERGE, under the same adversarial
+feed (out-of-order, delete-then-reinsert, schema evolution, replay)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from openmrs_module_epts_etl_spark.cdc import (
+    CdcPipeline,
+    FeedSpec,
+    PipelineConfig,
+    compact_latest,
+    generate_feed,
+    read_state,
+    transcript_schema,
+)
+from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days
+
+from test_cdc_pipeline import oracle_df, payload_columns
+
+SPEC = FeedSpec(
+    n_events=4000, n_convs=40, max_turns=20, out_of_order_window=300,
+    schema_evolution_lsn=2000,
+)
+
+
+@pytest.fixture(scope="module")
+def feed(spark):
+    df = generate_feed(spark, SPEC).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _mor_pipe(spark, tmp_path, tag, compact_every=None):
+    t = LakeTable.create(
+        spark, str(tmp_path / tag), transcript_schema(evolved=False),
+        [days("ts"), bucket(8, "conv_id")],
+    )
+    cfg = PipelineConfig(
+        table_path=t.path, checkpoint_dir=str(tmp_path / f"{tag}-ck"),
+        batch_size=700, mode="mor", compact_every=compact_every,
+    )
+    return t, CdcPipeline(spark, cfg)
+
+
+def _assert_matches(spark, table, feed, pay):
+    got = (
+        read_state(table.refresh())
+        .select("conv_id", "turn_idx", *pay)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    want = oracle_df(feed.drop("delivery_seq").toPandas(), pay).reset_index(drop=True)
+    got["turn_idx"] = got["turn_idx"].astype("int64")
+    want["turn_idx"] = want["turn_idx"].astype("int64")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_mor_replay_matches_oracle(spark, tmp_path, feed):
+    pay = payload_columns(feed.drop("delivery_seq").schema)
+    t, pipe = _mor_pipe(spark, tmp_path, "t1")
+    results = pipe.run(feed)
+    assert len(results) > 3
+    assert any(r.applied.get("delta_delete") for r in results)
+    _assert_matches(spark, t, feed, pay)
+    # evolved columns made it through the delta appends
+    assert "tool_version" in t.refresh().read().columns
+
+
+def test_mor_with_periodic_compaction_same_state(spark, tmp_path, feed):
+    pay = payload_columns(feed.drop("delivery_seq").schema)
+    t, pipe = _mor_pipe(spark, tmp_path, "t2", compact_every=3)
+    pipe.run(feed)
+    _assert_matches(spark, t, feed, pay)
+
+
+def test_mor_compaction_shrinks_and_preserves(spark, tmp_path, feed):
+    pay = payload_columns(feed.drop("delivery_seq").schema)
+    t, pipe = _mor_pipe(spark, tmp_path, "t3")
+    pipe.run(feed)
+    t.refresh()
+    rows_before = t.read(include_hidden=True).count()
+    compact_latest(t, fence_key="manual-compact", epoch_id=0)
+    t.refresh()
+    rows_after = t.read(include_hidden=True).count()
+    assert rows_after < rows_before  # version history collapsed
+    _assert_matches(spark, t, feed, pay)
+    # compaction is fenced: same epoch id is a no-op
+    v = t.version
+    assert compact_latest(t, fence_key="manual-compact", epoch_id=0) is None
+    assert t.refresh().version == v
+
+
+def test_mor_replay_idempotent(spark, tmp_path, feed):
+    pay = payload_columns(feed.drop("delivery_seq").schema)
+    t, pipe = _mor_pipe(spark, tmp_path, "t4")
+    pipe.run(feed)
+    v = t.refresh().version
+    # lost checkpoint, same feed: every epoch fenced; state unchanged
+    cfg = PipelineConfig(
+        table_path=t.path, checkpoint_dir=str(tmp_path / "t4-ck-new"),
+        batch_size=700, mode="mor",
+    )
+    out = CdcPipeline(spark, cfg).run(feed)
+    assert all(r.skipped_epoch for r in out)
+    assert t.refresh().version == v
+    _assert_matches(spark, t, feed, pay)
+
+
+def test_mor_stale_insert_after_delete_fenced(spark, tmp_path):
+    """Out-of-order stale insert delivered in a later epoch than the delete
+    must not resurrect the key — read-time max_by(lsn) sees the tombstone."""
+    import datetime as dt
+
+    from openmrs_module_epts_etl_spark.cdc import append_delta
+    from openmrs_module_epts_etl_spark.cdc.schemas import event_schema
+
+    ts = dt.datetime(2026, 1, 1)
+    rows1 = [(5, "D", "c1", 0, None, None, None, ts, "o")]
+    rows2 = [(3, "I", "c1", 0, "user", "stale", None, ts, "o")]
+    t = LakeTable.create(
+        spark, str(tmp_path / "t5"), transcript_schema(), [days("ts"), bucket(4, "conv_id")]
+    )
+    append_delta(t, spark.createDataFrame(rows1, event_schema()), fence_key="f", epoch_id=0)
+    append_delta(t.refresh(), spark.createDataFrame(rows2, event_schema()), fence_key="f", epoch_id=1)
+    assert read_state(t.refresh()).count() == 0

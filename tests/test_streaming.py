@@ -8,6 +8,7 @@ import os
 import shutil
 
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from openmrs_module_epts_etl_spark.cdc import FeedSpec, generate_feed, transcript_schema
@@ -74,3 +75,31 @@ def test_streaming_resume_and_fence(spark, tmp_path, feed_dir):
     out3 = r3.run_available_now()
     assert all(r.skipped_epoch for r in out3)
     assert t.refresh().version == v
+
+
+def test_metrics_stream_watermarked_window(spark, tmp_path, feed_dir):
+    """Watermarked tumbling-window metrics: counts per (window, op) over the
+    whole feed must reconcile with a plain batch aggregation (availableNow
+    drains everything, so nothing is late at end-of-stream)."""
+    runner = _runner(spark, feed_dir, str(tmp_path / "unused"), str(tmp_path / "ck"))
+    m = runner.metrics_stream(window="10 minutes", watermark="5 minutes")
+    q = (
+        m.writeStream.format("memory")
+        .queryName("op_metrics")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "mck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("op_metrics").groupBy("op").sum("events").collect()
+    got = {r["op"]: r["sum(events)"] for r in got}
+    want = {
+        r["op"]: r["n"]
+        for r in spark.read.parquet(feed_dir).groupBy("op").agg(F.count("*").alias("n")).collect()
+    }
+    # append mode emits only windows closed by the watermark; the final
+    # windows stay open at end-of-stream, so emitted <= total per op
+    assert set(got) <= set(want)
+    assert all(got[k] <= want[k] for k in got)
+    assert sum(got.values()) > 0
