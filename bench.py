@@ -220,6 +220,11 @@ def bench_queries(sf_dir: str, cores: int) -> dict[str, float]:
     spark = _mk_spark(cores, "query-bench")
     out = {}
     try:
+        # untimed warmup: JVM/codegen/parquet-footer caches, so the first
+        # timed query doesn't absorb cold-start (~8s on this VM)
+        QUERIES["q6_forecast_revenue"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
         for name in HEADLINE:
             fn = QUERIES[name]
             t0 = time.perf_counter()
