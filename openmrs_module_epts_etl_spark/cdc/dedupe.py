@@ -8,16 +8,26 @@ api:resolveconflictsinstagearea/processor/ResolveConflictsInStageAreaProcessor.j
 delete-then-reinsert inside one batch keeps the *last op*, never collapsing
 D+I into a no-op (SURVEY.md §7.3).
 
-Skew: the primary implementation is ``max_by`` aggregation, which Spark
-executes with **map-side partial aggregation** — a hot conv_id's events are
-pre-reduced inside every input partition before the shuffle, so a key carrying
-30% of the feed contributes at most one row per map task to the exchange.
-That is strictly better than the window-function formulation
-(row_number over partitionBy(key)), which shuffles every event of the hot key
-to one reducer. An explicit two-stage salted variant is provided for the case
-where the *number of distinct keys* under a hot conv also skews (one conv_id
-with millions of turn_idx values still distributes fine — key is the pair —
-so salting is rarely needed; it exists for completeness and benchmarking).
+Physical strategy (measured, 4M rows / 8 cores, see BENCH.md):
+
+- ``max_by(struct(*cols), lsn)`` — the obvious one-pass form — compiles to
+  **SortAggregate** because the struct-valued aggregation buffer disqualifies
+  Tungsten hash aggregation: Spark sorts the full payload on BOTH sides of
+  the exchange (~9 s, and it barely scales 2→8 cores because the sorts
+  dominate).
+- The implementation here is **narrow-agg + join-back**: ``max(lsn)`` per key
+  is a pure HashAggregate over ~24-byte rows with map-side partial
+  aggregation (a hot conv_id pre-reduces inside every map task), then a
+  ``left_semi`` join on (key, lsn) re-attaches the payload (~2-3 s, scales).
+  The build side is winner keys only; ``shuffle_hash`` keeps it scalable when
+  winners exceed broadcast size, and AQE still demotes to broadcast-hash when
+  the winner set is small. The payload is never sorted and never aggregated.
+
+Invariant: ``order_col`` (lsn = binlog position) is unique per key occurrence;
+a (key, lsn) duplicate would survive the semi-join as two rows. The feed
+contract guarantees lsn uniqueness (exactly-once fences keep re-delivered
+epochs out), matching the reference's assumption that stage-area records have
+distinct ids (api:common/model/EtlStageRecordVO.java:398-418).
 """
 
 from __future__ import annotations
@@ -31,15 +41,18 @@ from .schemas import TRANSCRIPT_KEY
 def dedupe_latest(events: DataFrame, key: list[str] | None = None, order_col: str = "lsn") -> DataFrame:
     """One row per key: the event with the maximal ``order_col``.
 
-    Implemented as max_by(struct(*), lsn) → partial-agg friendly, one shuffle,
-    no sort. Output columns = input columns.
+    Narrow hash-aggregation (max over the order column alone — map-side
+    combined, skew-safe) + left-semi join-back on (key, order_col) to
+    re-attach the payload. The payload is never sorted, never shuffled with an
+    aggregation buffer, and the source is scanned twice — cheap for every
+    caller here (persisted feed slice, parquet files, or foreachBatch frame).
+    Output columns = input columns.
     """
     key = key or TRANSCRIPT_KEY
     cols = events.columns
-    winner = events.groupBy(*key).agg(
-        F.max_by(F.struct(*[F.col(c) for c in cols]), F.col(order_col)).alias("__w")
-    )
-    return winner.select(*[F.col(f"__w.{c}").alias(c) for c in cols])
+    winners = events.groupBy(*key).agg(F.max(order_col).alias(order_col))
+    out = events.join(winners.hint("shuffle_hash"), on=[*key, order_col], how="left_semi")
+    return out.select(*cols)
 
 
 def dedupe_latest_salted(

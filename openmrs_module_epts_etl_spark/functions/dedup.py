@@ -37,9 +37,22 @@ def _shingle_code(col: Column) -> Column:
 
 
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """(id, shingle) rows: word-level n-grams of whitespace-normalized,
-    lowercased text. Documents shorter than n words yield their full text as
-    the single shingle."""
+    """(id, shingle) rows: distinct word-level n-grams of
+    whitespace-normalized, lowercased text. Documents shorter than n words
+    yield their full text as the single shingle.
+
+    Dedup happens with ``array_distinct`` *inside each row* before the
+    explode — the (id, shingle) output is exactly as distinct as a post-hoc
+    ``.distinct()``, but no shingle string ever crosses a shuffle (a corpus of
+    D docs × S shingles would otherwise exchange D·S strings just to dedupe
+    what is already per-document data)."""
+    # Shingling fans each doc out ~|words| rows — CPU-heavy row generation.
+    # A small corpus arriving as one parquet split would run it single-task;
+    # spread the docs first when the input has less parallelism than the
+    # session (at real scale file splits already provide it — no-op then).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par, F.col(id_col))
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     words = F.split(norm, " ")
     k = F.greatest(F.size(words) - (n - 1), F.lit(1))
@@ -47,7 +60,7 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
         F.sequence(F.lit(1), k),
         lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
-    return df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle")).distinct()
+    return df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(grams)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -55,15 +68,22 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, h0..h{k-1}): k min-hash values per document, all JVM-side.
 
-    Permutations h_i(x) = (a_i·x + b_i) mod p with p = 2^61−1; a_i/b_i are
+    Permutations h_i(x) = (a_i·x + b_i) mod p with p = 2^31−1; a_i/b_i are
     fixed odd constants derived from the seed so signatures are reproducible
     anywhere (including the SQL oracle).
+
+    The md5 shingle code is materialized once per row before the aggregation
+    (k min-aggregations each embedding their own copy of the md5 expression
+    tree would hash every shingle k times — Catalyst does not CSE across
+    aggregate functions), and the aggregation shuffles 8-byte codes, not
+    shingle strings.
     """
-    code = _shingle_code(F.col("shingle"))
+    coded = shingles.select("id", _shingle_code(F.col("shingle")).alias("__c"))
+    code = F.col("__c")
     aggs = []
     for a, b, i in minhash_coefficients(num_hashes, seed):
         aggs.append(F.min(F.pmod(F.lit(a) * code + F.lit(b), F.lit(MERSENNE_P))).alias(f"h{i}"))
-    return shingles.groupBy("id").agg(*aggs)
+    return coded.groupBy("id").agg(*aggs)
 
 
 def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int, int]]:
@@ -140,13 +160,17 @@ def ngram_jaccard_pairs(
 def simhash(shingles: DataFrame, seed: int = 42) -> DataFrame:
     """(id, simhash): 64-bit SimHash from shingle hashes — bit i of the result
     is 1 iff the sum over shingles of ±1 (by bit i of xxhash64(shingle)) > 0.
-    64 conditional-sum aggregations, one shuffle, no UDF."""
-    h = F.xxhash64(F.col("shingle"), F.lit(seed))
+    64 conditional-sum aggregations (64-long buffer → Tungsten HashAggregate),
+    one shuffle of (id, 8-byte hash) rows, no UDF. The hash is materialized
+    once per row — 64 aggregations each re-evaluating xxhash64 would hash
+    every shingle 64 times (no CSE across aggregate functions)."""
+    hashed = shingles.select("id", F.xxhash64(F.col("shingle"), F.lit(seed)).alias("__h"))
+    h = F.col("__h")
     aggs = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{i}")
         for i in range(64)
     ]
-    sums = shingles.groupBy("id").agg(*aggs)
+    sums = hashed.groupBy("id").agg(*aggs)
     sig = sum_ints(
         [F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0) for i in range(64)]
     )
