@@ -335,7 +335,7 @@ keeping the best wall (shared-host noise suppression).
 Feed: {n_events} events in {epochs} epochs, 30% hot-key skew on 3
 conversations, out-of-order window 50k, mid-stream additive schema evolution
 at the halfway lsn, deletes + reinserts included. The replay is the full
-pipeline: max_by dedupe → bucket-pruned planning semi-join → lsn-guarded
+pipeline: max-lsn dedupe → bucket-pruned planning semi-join → lsn-guarded
 MERGE (insert/update/delete/tombstone) → atomic lake commit with
 per-partition lineage metrics, checkpoint after every epoch.
 

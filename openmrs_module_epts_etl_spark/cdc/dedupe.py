@@ -61,18 +61,19 @@ def dedupe_latest_salted(
     order_col: str = "lsn",
     salt_buckets: int = 32,
 ) -> DataFrame:
-    """Two-stage salted max_by: stage 1 reduces (key, salt) groups, stage 2
-    reduces per key. Equivalent result; use when a single composite key value
-    dominates the batch (e.g. one turn updated millions of times per batch).
-    The salt is derived from lsn, so distribution is uniform and deterministic.
-    """
+    """Two-stage salted variant of the narrow winner aggregation: stage 1
+    takes max(order_col) per (key, salt), stage 2 per key, then the same
+    left-semi join-back re-attaches the payload. Equivalent result; use when
+    a single composite key value dominates the batch so heavily that even the
+    narrow partial-aggregation hash maps skew (e.g. one turn updated millions
+    of times per batch). The salt is derived from the order column, so
+    distribution is uniform and deterministic."""
     key = key or TRANSCRIPT_KEY
     cols = events.columns
-    salted = events.withColumn("__salt", F.pmod(F.col(order_col), F.lit(salt_buckets)).cast("int"))
-    stage1 = salted.groupBy(*key, "__salt").agg(
-        F.max_by(F.struct(*[F.col(c) for c in cols]), F.col(order_col)).alias("__w")
+    salted = events.select(
+        *key, F.col(order_col), F.pmod(F.col(order_col), F.lit(salt_buckets)).cast("int").alias("__salt")
     )
-    stage2 = stage1.groupBy(*key).agg(
-        F.max_by(F.col("__w"), F.col(f"__w.{order_col}")).alias("__w")
-    )
-    return stage2.select(*[F.col(f"__w.{c}").alias(c) for c in cols])
+    stage1 = salted.groupBy(*key, "__salt").agg(F.max(order_col).alias(order_col))
+    winners = stage1.groupBy(*key).agg(F.max(order_col).alias(order_col))
+    out = events.join(winners.hint("shuffle_hash"), on=[*key, order_col], how="left_semi")
+    return out.select(*cols)

@@ -24,9 +24,9 @@ Physical plan (designed for a 1000-executor cluster / 100 TB table) — exactly
 three Spark jobs per epoch, so the driver-side constant cost stays far below
 the distributed work and N→4N scaling holds:
 
-1. **hint job**: per-bucket counts of the deduped batch (map-side-combined
-   ``max_by`` dedupe, skew-safe) → batch size + the conv_id buckets it
-   touches. Bucket values are recomputable from the events alone, so the
+1. **hint job**: per-bucket counts of the deduped batch (narrow max-lsn
+   hash aggregation + semi join-back, skew-safe — cdc/dedupe.py) → batch
+   size + the conv_id buckets it touches. Bucket values are recomputable from the events alone, so the
    target scan is pruned to the touched buckets before any I/O.
 2. **planning job**: one column-pruned semi-join of the pruned target against
    the batch keys (broadcast when the batch is small) yields, in a single

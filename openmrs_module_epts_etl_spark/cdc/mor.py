@@ -8,15 +8,15 @@ the dual trade: ingest appends small delta files and defers conflict
 resolution to readers and to a periodic compaction. This module is that dual,
 over the same lake format, same event semantics, same fences:
 
-- **append_delta**: dedupe the batch per key (max_by over lsn — same
-  map-side-combining operator as CoW), stamp ``_lsn``/``_origin``/
+- **append_delta**: dedupe the batch per key (max-lsn winner via the same
+  narrow-agg + join-back operator as CoW), stamp ``_lsn``/``_origin``/
   ``_deleted`` and append. No target scan, no planning join, no rewrite: one
   shuffle (dedupe) + one clustered write per epoch, which is why ingest
   scales like the append it is. Epoch fencing is identical to CoW
   (commit-log (fence_key, epoch_id)), so replays are no-ops.
 - **read_state**: snapshot read = latest row per key by ``_lsn`` with delete
   tombstones filtered. An out-of-order stale insert arriving *after* a
-  delete loses the max_by to the delete's higher lsn — the same guard CoW
+  delete loses the max-lsn contest to the delete's higher lsn — the same guard CoW
   enforces at write time, enforced here at read time. Conflict-resolution
   semantics (newer-wins ≈ observationDateFields,
   api:model/EtlDatabaseObject.java:677-714) are therefore byte-identical
@@ -57,7 +57,7 @@ def append_delta(
     unknowable without reading the target — that is the point of MoR).
 
     ``dedupe=False`` (default) appends every event as its own delta row: the
-    read-time / compaction-time max_by over lsn resolves per-key winners
+    read-time / compaction-time max-lsn winner selection resolves per-key winners
     anyway, so a per-epoch dedupe is pure compression — it removes the only
     table-wide shuffle-with-aggregation in the append path (the remaining
     exchange just clusters rows by partition value for the writer). Enable it

@@ -180,31 +180,38 @@ def simhash(shingles: DataFrame, seed: int = 42) -> DataFrame:
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ max_hamming via pigeonhole
     banding: split 64 bits into 4 chunks; distance ≤ 3 ⇒ at least one chunk
-    identical → join per chunk, verify exact distance with bit_count(xor)."""
-    chunks = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias(f"c{c}")
-        for c in range(4)
-    ]
-    t = sig.select("id", "simhash", *chunks)
-    pairs = None
-    for c in range(4):
-        a = t.alias("a")
-        b = t.alias("b")
-        p = (
-            a.join(b, F.col(f"a.c{c}") == F.col(f"b.c{c}"))
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(
-                F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"),
-                F.col("a.simhash").alias("sh_a"),
-                F.col("b.simhash").alias("sh_b"),
+    identical. One exploded (chunk_idx, chunk_val) self-join replaces four
+    separate chunk joins + union — a single exchange pair, and the bucket key
+    (chunk_idx, chunk_val) keeps candidates per-bucket, never corpus²; exact
+    distance verified with bit_count(xor)."""
+    chunk = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(c).alias("ci"),
+                F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
             )
+            for c in range(4)
+        ])
+    )
+    t = sig.select("id", "simhash", chunk.alias("ch")).select(
+        "id", "simhash", F.col("ch.ci").alias("ci"), F.col("ch.cv").alias("cv")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ci") == F.col("b.ci")) & (F.col("a.cv") == F.col("b.cv")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
+        .distinct()
+    )
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        pairs.distinct()
-        .withColumn("hamming", ham)
+        pairs.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -10,8 +10,9 @@ from pyspark.sql.window import Window
 
 def latest_per_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """chooseMostRecent (api:common/model/EtlStageRecordVO.java:398-418) as a
-    map-side-combining max_by aggregation — see cdc/dedupe.py for why this
-    beats row_number over a key window under hot-key skew."""
+    narrow map-side-combining max aggregation + semi join-back — see
+    cdc/dedupe.py for why this beats both row_number over a key window
+    (single-reducer hot keys) and max_by(struct) (SortAggregate)."""
     from ..cdc.dedupe import dedupe_latest
 
     return dedupe_latest(df, key=keys, order_col=order_col)

@@ -12,8 +12,9 @@ from .base import davg, dsum, t
 
 
 def latest_event_per_user(spark: SparkSession, sf: str) -> DataFrame:
-    """The CDC dedupe stage itself (chooseMostRecent → max_by, cdc/dedupe.py)
-    applied to the events stream: last event per user by event_id."""
+    """The CDC dedupe stage itself (chooseMostRecent → narrow max + semi
+    join-back, cdc/dedupe.py) applied to the events stream: last event per
+    user by event_id."""
     from ..cdc.dedupe import dedupe_latest
 
     ev = t(spark, sf, "events").select("event_id", "user_id", "event_type", "value", "ts")

@@ -209,9 +209,14 @@ def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     LSH bucket — the self-join is per-block, never corpus²). Dot products via
     ``zip_with``+``aggregate`` in double precision; rounded for cross-engine
     float parity."""
+    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))  # noqa: E731
+    # the norm is per-row data: compute it once before the self-join instead
+    # of twice per candidate pair (same expression → bit-identical floats →
+    # oracle parity survives); only the dot product remains pair-level work
     e = t(spark, sf, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
+    e = e.withColumn("nv", nrm(F.col("v")))
     a = e.alias("a")
     b = e.alias("b")
     dot = F.aggregate(
@@ -219,8 +224,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))  # noqa: E731
-    cos = F.round(F.try_divide(dot, nrm(F.col("a.v")) * nrm(F.col("b.v"))), 4)
+    cos = F.round(F.try_divide(dot, F.col("a.nv") * F.col("b.nv")), 4)
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(

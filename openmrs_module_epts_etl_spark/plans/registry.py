@@ -13,6 +13,6 @@ for mod in (tpch, events_queries, text_queries, vector_queries, ops_queries):
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's signature move on the shared testdata: CDC-style per-key
-    winner selection over the events stream (max_by dedupe — the same
+    winner selection over the events stream (max-lsn dedupe — the same
     operator that fronts every MERGE)."""
     return events_queries.latest_event_per_user(spark, sf_dir)
