@@ -268,6 +268,23 @@ def main() -> None:
     head = run_level(cpus, max(n_events, 16_000_000), epochs, mode="mor")
     head_cow = run_level(cpus, max(n_events, 16_000_000), 2, mode="cow")
 
+    # sustained soak: 3× the headline events in bigger epochs — shows fixed
+    # per-epoch cost amortization and compaction over a growing table. Needs
+    # a larger heap than the default 8g (the persisted 48M-row feed plus 32
+    # concurrent tasks exhaust it — GCLocker allocation failures).
+    soak_events = int(os.environ.get("SPARK_GRAFT_SOAK_EVENTS", str(48_000_000)))
+    soak = None
+    if soak_events:
+        prev_mem = os.environ.get("SPARK_DRIVER_MEMORY")
+        os.environ["SPARK_DRIVER_MEMORY"] = os.environ.get("SPARK_GRAFT_SOAK_MEMORY", "32g")
+        try:
+            soak = run_level(cpus, soak_events, 6, mode="mor")
+        finally:
+            if prev_mem is None:
+                del os.environ["SPARK_DRIVER_MEMORY"]
+            else:
+                os.environ["SPARK_DRIVER_MEMORY"] = prev_mem
+
     queries = bench_queries(sf_dir, cpus)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -276,6 +293,7 @@ def main() -> None:
         "value": head["events_per_sec"],
         "unit": "events/sec",
         "cow_events_per_sec": head_cow["events_per_sec"],
+        "soak": soak,
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling": {
@@ -291,6 +309,12 @@ def main() -> None:
         },
     }
 
+    soak_row = (
+        f"| local[{soak['cores']}] (soak, 32g heap) | mor | {soak['events']} "
+        f"| {soak['wall_sec']} | {soak['events_per_sec']} |\n"
+        if soak
+        else ""
+    )
     qrows = "".join(f"| {k} | {v} |\n" for k, v in queries.items())
     with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
         fh.write(
@@ -304,7 +328,7 @@ def main() -> None:
 | local[{hi['cores']}] (pinned) | mor | {hi['events']} | {hi['wall_sec']} | {hi['events_per_sec']} |
 | local[{head['cores']}] (headline) | mor | {head['events']} | {head['wall_sec']} | {head['events_per_sec']} |
 | local[{head_cow['cores']}] (headline) | cow | {head_cow['events']} | {head_cow['wall_sec']} | {head_cow['events_per_sec']} |
-
+{soak_row}
 Modes: **mor** = merge-on-read ingest (epoch appends lsn-stamped deduped
 deltas; compaction every 4 epochs *inside* the timed region plus a final
 compaction, so this is sustained operation, not an append-only burst;
