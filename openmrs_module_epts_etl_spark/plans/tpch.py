@@ -344,8 +344,66 @@ GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- q14
+def q14_promo_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a fact⋈dim join —
+    promo (p_type = 'ECONOMY') revenue share of one ship-month. The part
+    dimension broadcasts; lineitem is filtered before the join (pushdown) and
+    never shuffles."""
+    li = t(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1998-02-01")
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = t(spark, sf, "part").select("p_partkey", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "ECONOMY", disc_price).otherwise(F.lit(0.0))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(F.lit(100.0) * dsum(promo, 8) / dsum(disc_price, 8), 6).alias("promo_revenue_pct"),
+        dsum(disc_price, 8).alias("total_revenue"),
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0
+         * (SUM(CASE WHEN p_type = 'ECONOMY'
+                     THEN (l_extendedprice * (1 - l_discount))::DECIMAL(28,8)
+                     ELSE 0.0::DECIMAL(28,8) END))::DOUBLE
+         / (SUM((l_extendedprice * (1 - l_discount))::DECIMAL(28,8)))::DOUBLE,
+       6) AS promo_revenue_pct,
+       (SUM((l_extendedprice * (1 - l_discount))::DECIMAL(28,8)))::DOUBLE AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-02-01'
+"""
+
+
+def part_brand_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(brand, type) revenue and volume — dimension-attribute rollup of
+    the fact table through a broadcast join."""
+    li = t(spark, sf, "lineitem").select("l_partkey", "l_extendedprice", "l_discount", "l_quantity")
+    part = t(spark, sf, "part").select("p_partkey", "p_brand", "p_type")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.groupBy("p_brand", "p_type").agg(
+        dsum(disc_price, 8).alias("revenue"),
+        dsum(F.col("l_quantity")).alias("total_qty"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+PART_BRAND_REVENUE_SQL = """
+SELECT p_brand, p_type,
+  (SUM((l_extendedprice * (1 - l_discount))::DECIMAL(28,8)))::DOUBLE AS revenue,
+  (SUM(l_quantity::DECIMAL(28,4)))::DOUBLE AS total_qty,
+  COUNT(*) AS n_lineitems
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand, p_type
+"""
+
+
 QUERIES = {
     "urgent_or_building_orders": urgent_or_building_orders,
+    "q14_promo_revenue": q14_promo_revenue,
+    "part_brand_revenue": part_brand_revenue,
     "orders_with_nation_defaults": orders_with_nation_defaults,
     "q1_pricing_summary": q1_pricing_summary,
     "q3_shipping_priority": q3_shipping_priority,
@@ -363,6 +421,8 @@ QUERIES = {
 
 ORACLES = {
     "urgent_or_building_orders": URGENT_OR_BUILDING_SQL,
+    "q14_promo_revenue": Q14_SQL,
+    "part_brand_revenue": PART_BRAND_REVENUE_SQL,
     "orders_with_nation_defaults": ORDERS_NATION_DEFAULTS_SQL,
     "q1_pricing_summary": Q1_SQL,
     "q3_shipping_priority": Q3_SQL,
