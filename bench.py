@@ -141,6 +141,47 @@ def cdc_child(cores: int, n_events: int, epochs: int, work: str, mode: str = "co
         spark.stop()
 
 
+def stream_child(cores: int, n_events: int, work: str) -> None:
+    """Subprocess entry: measure the Structured Streaming topology
+    (readStream file source → foreachBatch MoR append + periodic compaction),
+    the north-star deployment shape. Feed materialized as 16 parquet files →
+    4 micro-batches at maxFilesPerTrigger=4; warmup stream first."""
+    import time as _t
+
+    from openmrs_module_epts_etl_spark.cdc import generate_feed, transcript_schema
+    from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days
+    from openmrs_module_epts_etl_spark.streaming import StreamingCdcRunner
+
+    sys.path.insert(0, REPO)
+    spark = _mk_spark(cores, f"stream-bench-{cores}", local_dir=os.path.join(work, "local"))
+    try:
+        def run(n, files, tag):
+            fd = os.path.join(work, f"feed-{tag}")
+            generate_feed(spark, _feed_spec(n), 64).drop("delivery_seq").repartition(
+                files
+            ).write.parquet(fd)
+            tp = os.path.join(work, f"t-{tag}")
+            LakeTable.create(spark, tp, transcript_schema(), [days("ts"), bucket(16, "conv_id")])
+            r = StreamingCdcRunner(
+                spark, fd, spark.read.parquet(fd).schema, tp,
+                os.path.join(work, f"ck-{tag}"), max_files_per_trigger=4,
+                mode="mor", compact_every=4,
+            )
+            t0 = _t.perf_counter()
+            res = r.run_available_now()
+            return _t.perf_counter() - t0, len(res)
+
+        run(200_000, 4, "warm")
+        wall, batches = run(n_events, 16, "timed")
+        print(json.dumps({
+            "cores": cores, "events": n_events, "micro_batches": batches,
+            "mode": "stream-mor", "wall_sec": round(wall, 2),
+            "events_per_sec": round(n_events / wall, 1),
+        }))
+    finally:
+        spark.stop()
+
+
 _CAL = """
 import os, sys, time, multiprocessing as mp
 cores = int(sys.argv[1])
@@ -272,6 +313,23 @@ def main() -> None:
     # per-epoch cost amortization and compaction over a growing table. Needs
     # a larger heap than the default 8g (the persisted 48M-row feed plus 32
     # concurrent tasks exhaust it — GCLocker allocation failures).
+    # Structured Streaming topology (readStream → foreachBatch MoR):
+    # the north-star deployment shape, measured on the full machine
+    stream = None
+    stream_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", str(4_000_000)))
+    if stream_events:
+        swork = tempfile.mkdtemp(prefix="stream-bench-", dir="/dev/shm")
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"), "--stream-child",
+                 str(cpus), str(stream_events), swork],
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+            stream = json.loads(line)
+        finally:
+            shutil.rmtree(swork, ignore_errors=True)
+
     soak_events = int(os.environ.get("SPARK_GRAFT_SOAK_EVENTS", str(48_000_000)))
     soak = None
     if soak_events:
@@ -294,6 +352,7 @@ def main() -> None:
         "unit": "events/sec",
         "cow_events_per_sec": head_cow["events_per_sec"],
         "soak": soak,
+        "streaming": stream,
         "queries": queries,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scaling": {
@@ -315,6 +374,12 @@ def main() -> None:
         if soak
         else ""
     )
+    stream_row = (
+        f"| local[{stream['cores']}] (readStream→foreachBatch) | stream-mor "
+        f"| {stream['events']} | {stream['wall_sec']} | {stream['events_per_sec']} |\n"
+        if stream
+        else ""
+    )
     qrows = "".join(f"| {k} | {v} |\n" for k, v in queries.items())
     with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
         fh.write(
@@ -328,7 +393,7 @@ def main() -> None:
 | local[{hi['cores']}] (pinned) | mor | {hi['events']} | {hi['wall_sec']} | {hi['events_per_sec']} |
 | local[{head['cores']}] (headline) | mor | {head['events']} | {head['wall_sec']} | {head['events_per_sec']} |
 | local[{head_cow['cores']}] (headline) | cow | {head_cow['events']} | {head_cow['wall_sec']} | {head_cow['events_per_sec']} |
-{soak_row}
+{soak_row}{stream_row}
 Modes: **mor** = merge-on-read ingest (epoch appends lsn-stamped deduped
 deltas; compaction every 4 epochs *inside* the timed region plus a final
 compaction, so this is sustained operation, not an append-only burst;
@@ -379,5 +444,7 @@ if __name__ == "__main__":
             int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5],
             sys.argv[6] if len(sys.argv) > 6 else "cow",
         )
+    elif len(sys.argv) > 1 and sys.argv[1] == "--stream-child":
+        stream_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     else:
         main()

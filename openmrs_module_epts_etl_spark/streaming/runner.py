@@ -41,6 +41,8 @@ class StreamingCdcRunner:
         fence_key: str = "cdc-stream",
         key: list[str] | None = None,
         max_files_per_trigger: int = 4,
+        mode: str = "cow",
+        compact_every: int | None = 8,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -50,18 +52,38 @@ class StreamingCdcRunner:
         self.fence_key = fence_key
         self.key = key or TRANSCRIPT_KEY
         self.max_files_per_trigger = max_files_per_trigger
+        # same mode dial as the batch pipeline (PipelineConfig.mode): "cow" =
+        # lsn-guarded MERGE rewrite per micro-batch (read-optimized), "mor" =
+        # delta append + periodic compaction (ingest-optimized — the topology
+        # a 10^10-event/day streaming deployment runs)
+        self.mode = mode
+        self.compact_every = compact_every
         self.batch_results: list = []
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         table = LakeTable(batch_df.sparkSession, self.table_path)
         cols = [f.name for f in self.feed_schema.fields if f.name != "delivery_seq"]
-        res = merge_into(
-            table,
-            batch_df.select(*cols),
-            key=self.key,
-            fence_key=self.fence_key,
-            epoch_id=int(epoch_id),
-        )
+        batch = batch_df.select(*cols)
+        if self.mode == "mor":
+            from ..cdc.mor import append_delta, compact_latest
+
+            res = append_delta(
+                table, batch, key=list(self.key), fence_key=self.fence_key,
+                epoch_id=int(epoch_id),
+            )
+            if self.compact_every and (int(epoch_id) + 1) % self.compact_every == 0:
+                compact_latest(
+                    table, key=list(self.key),
+                    fence_key=self.fence_key + "-compact", epoch_id=int(epoch_id),
+                )
+        else:
+            res = merge_into(
+                table,
+                batch,
+                key=self.key,
+                fence_key=self.fence_key,
+                epoch_id=int(epoch_id),
+            )
         self.batch_results.append(res)
 
     def metrics_stream(

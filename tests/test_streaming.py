@@ -103,3 +103,32 @@ def test_metrics_stream_watermarked_window(spark, tmp_path, feed_dir):
     assert set(got) <= set(want)
     assert all(got[k] <= want[k] for k in got)
     assert sum(got.values()) > 0
+
+
+def test_streaming_mor_mode_matches_oracle(spark, tmp_path, feed_dir):
+    """mode="mor": foreachBatch appends lsn-stamped deltas with periodic
+    compaction instead of CoW MERGE — the ingest-optimized streaming
+    topology. Final user-visible state must equal the CoW/oracle state."""
+    from openmrs_module_epts_etl_spark.cdc.mor import read_state
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), [days("ts"), bucket(8, "conv_id")]
+    )
+    runner = _runner(spark, feed_dir, t.path, str(tmp_path / "ck"))
+    runner.mode = "mor"
+    runner.compact_every = 2
+    results = runner.run_available_now()
+    assert len(results) >= 2
+    feed_pd = spark.read.parquet(feed_dir).drop("delivery_seq", "__batch").toPandas()
+    from openmrs_module_epts_etl_spark.cdc.oracle import expected_state_pandas
+
+    got = (
+        read_state(t.refresh())
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    payload = ["role", "text", "tool", "ts"]
+    exp = expected_state_pandas(feed_pd, payload)
+    cols = ["conv_id", "turn_idx", *payload]
+    pd.testing.assert_frame_equal(exp[cols], got[cols], check_dtype=False)
