@@ -132,3 +132,42 @@ def test_streaming_mor_mode_matches_oracle(spark, tmp_path, feed_dir):
     exp = expected_state_pandas(feed_pd, payload)
     cols = ["conv_id", "turn_idx", *payload]
     pd.testing.assert_frame_equal(exp[cols], got[cols], check_dtype=False)
+
+
+def test_stateful_conversation_progress(spark, tmp_path, feed_dir):
+    """applyInPandasWithState keyed state survives micro-batch boundaries:
+    the LAST update emitted per conversation must equal the batch groupby of
+    the whole feed (cumulative counts / maxima)."""
+    from pyspark.sql.types import LongType, StructField
+
+    from openmrs_module_epts_etl_spark.streaming import (
+        conversation_progress,
+        progress_oracle,
+    )
+
+    schema = event_schema(False).add(StructField("delivery_seq", LongType()))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed_dir)
+    )
+    q = (
+        conversation_progress(stream.drop("delivery_seq"))
+        .writeStream.format("memory")
+        .queryName("conv_progress")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    upd = spark.sql("select * from conv_progress").toPandas()
+    assert len(upd) > len(upd["conv_id"].unique()), "expected multiple update rows per conv"
+    # last update per conversation (max cumulative n_events) = final snapshot
+    got = upd.sort_values("n_events").groupby("conv_id").tail(1)
+    got = got.sort_values("conv_id").reset_index(drop=True)
+    feed_pd = spark.read.parquet(feed_dir).drop("delivery_seq", "__batch").toPandas()
+    exp = progress_oracle(feed_pd)
+    for col in ["n_events", "n_deletes", "max_turn_idx", "max_lsn"]:
+        assert list(got[col].astype("int64")) == list(exp[col].astype("int64")), col
+    assert list(got["last_ts"]) == list(exp["last_ts"])
