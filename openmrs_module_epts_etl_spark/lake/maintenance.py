@@ -1,0 +1,133 @@
+"""Lake maintenance actions: snapshot expiration and orphan-file GC.
+
+The Iceberg analogs are ``expire_snapshots`` and ``remove_orphan_files``;
+the reference's analog duty is clearing its ledgers at interval end
+(api:engine/Engine.java:367-406) and pruning stale interval-checkpoint files
+(api:engine/record_intervals_manager/ThreadRecordIntervalsManager.java:315-354).
+
+Two failure/retention realities force these:
+
+- **Snapshot growth**: every commit is a full snapshot JSON; a 10^10-event
+  replay producing thousands of epochs accumulates thousands of snapshots
+  and the data files only they reference. Expiring all but the last K
+  reclaims both — *except* the exactly-once epoch fences recorded on old
+  commits, which must outlive them (a replayed epoch from last week must
+  still be a no-op). Expiration therefore folds expired commits' fences into
+  a sidecar (``_commits/_expired_fences.json``, atomic-rename updated) that
+  ``LakeTable.epoch_already_applied`` consults alongside live history.
+- **Orphan data**: a crash between ``write_data_files`` and ``commit``
+  leaves a fully-written ``data/c-*`` directory no snapshot references.
+  Orphan GC walks the data root and removes files unreferenced by ANY
+  retained snapshot, with an mtime grace window so an in-flight writer's
+  uncommitted output is never swept.
+
+Both actions are driver-side metadata/file operations (no Spark jobs) and
+single-writer, like the commit protocol itself.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from .table import _COMMITS, _DATA, LakeTable
+
+_FENCE_SIDECAR = "_expired_fences.json"
+
+
+def _sidecar_path(table: LakeTable) -> str:
+    return os.path.join(table.path, _COMMITS, _FENCE_SIDECAR)
+
+
+def load_expired_fences(table: LakeTable) -> set[tuple]:
+    p = _sidecar_path(table)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as fh:
+        return {tuple(e) for e in json.load(fh)}
+
+
+def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
+    """Delete all but the newest ``keep_last`` snapshots, the data files only
+    they referenced, and fold their epoch fences into the sidecar. Returns
+    {"expired_snapshots": n, "deleted_files": n, "kept_fences": n}.
+    Time travel to expired versions is gone afterwards (that is the point).
+    """
+    versions = table._versions()
+    if len(versions) <= keep_last:
+        return {"expired_snapshots": 0, "deleted_files": 0, "kept_fences": 0}
+    kept_v = versions[-keep_last:]
+    expired_v = versions[: -keep_last]
+
+    live_paths: set[str] = set()
+    for v in kept_v:
+        live_paths |= {f.path for f in table._load_commit(v).files}
+
+    fences = load_expired_fences(table)
+    deleted = 0
+    for v in expired_v:
+        c = table._load_commit(v)
+        if c.epoch and c.epoch.get("fence_key") is not None:
+            fences.add((c.epoch["fence_key"], c.epoch.get("epoch_id")))
+        for f in c.files:
+            if f.path in live_paths:
+                continue
+            full = os.path.join(table.path, f.path)
+            if os.path.exists(full):
+                os.unlink(full)
+                deleted += 1
+
+    # publish the fence sidecar BEFORE removing the commits it covers: a
+    # crash in between leaves both sources present (fences double-counted,
+    # harmless), never neither
+    tmp = _sidecar_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(sorted([list(e) for e in fences]), fh)
+    os.rename(tmp, _sidecar_path(table))
+    for v in expired_v:
+        os.unlink(os.path.join(table.path, _COMMITS, f"{v:020d}.json"))
+
+    _prune_empty_dirs(os.path.join(table.path, _DATA))
+    table._fences = None  # force fence-cache rebuild incl. sidecar
+    return {
+        "expired_snapshots": len(expired_v),
+        "deleted_files": deleted,
+        "kept_fences": len(fences),
+    }
+
+
+def remove_orphan_files(table: LakeTable, grace_seconds: float = 3600.0) -> int:
+    """Delete data files referenced by NO retained snapshot and older than
+    ``grace_seconds`` (protects an in-flight writer that has not committed
+    yet). Returns the number of files removed."""
+    referenced: set[str] = set()
+    for v in table._versions():
+        referenced |= {f.path for f in table._load_commit(v).files}
+    root = os.path.join(table.path, _DATA)
+    cutoff = time.time() - grace_seconds
+    removed = 0
+    for dirpath, _dirs, names in os.walk(root):
+        for n in names:
+            full = os.path.join(dirpath, n)
+            rel = os.path.relpath(full, table.path)
+            if rel in referenced:
+                continue
+            try:
+                if os.path.getmtime(full) <= cutoff:
+                    os.unlink(full)
+                    removed += 1
+            except FileNotFoundError:
+                pass
+    _prune_empty_dirs(root)
+    return removed
+
+
+def _prune_empty_dirs(root: str) -> None:
+    for dirpath, dirs, names in os.walk(root, topdown=False):
+        if dirpath != root and not dirs and not names:
+            try:
+                os.rmdir(dirpath)
+            except OSError:
+                pass

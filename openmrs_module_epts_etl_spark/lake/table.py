@@ -147,7 +147,8 @@ class LakeTable:
         return sorted(
             int(f.split(".")[0])
             for f in os.listdir(self._commit_dir())
-            if f.endswith(".json")
+            # skip sidecars (e.g. _expired_fences.json) — snapshots only
+            if f.endswith(".json") and not f.startswith("_")
         )
 
     def _load_commit(self, version: int | None) -> Commit:
@@ -187,7 +188,11 @@ class LakeTable:
         long-running pipeline pays the full commit-log scan once, not per
         epoch (the log itself stays the durable source of truth)."""
         if self._fences is None:
-            self._fences = set()
+            from .maintenance import load_expired_fences
+
+            # fences from expired snapshots survive in the sidecar — an old
+            # epoch replayed after expire_snapshots must still be a no-op
+            self._fences = set(load_expired_fences(self))
             for c in self.history():
                 e = c.epoch
                 if e and e.get("fence_key") is not None:

@@ -111,3 +111,46 @@ def test_compact_bin_packs_small_files(spark, tmp_path):
     assert t.read(include_hidden=True).count() == rows_before
     # idempotent once packed
     assert compact(t, target_rows_per_file=1_000_000, min_files=3) is None
+
+
+def test_expire_snapshots_keeps_fences_and_live_files(spark, tmp_path):
+    """expire_snapshots deletes old snapshots + their exclusive files but
+    (a) the current state stays readable and (b) epoch fences recorded on
+    expired commits still make replays no-ops (sidecar)."""
+    from openmrs_module_epts_etl_spark.lake import LakeTable, expire_snapshots
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    for e in range(5):
+        t.append(_df(spark, 4), epoch={"fence_key": "run", "epoch_id": e})
+    before_rows = t.read().count()
+    stats = expire_snapshots(t, keep_last=2)
+    assert stats["expired_snapshots"] == 4  # v0(create)+v1..v3 expired, v4/v5 kept
+    t2 = LakeTable(spark, t.path)
+    assert t2.read().count() == before_rows
+    # fences from expired commits survive
+    for e in range(5):
+        assert t2.epoch_already_applied("run", e), e
+    # only 2 snapshot files remain (plus the fence sidecar)
+    import os
+    names = os.listdir(os.path.join(t.path, "_commits"))
+    assert len([n for n in names if n.endswith(".json") and not n.startswith("_")]) == 2
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """A data directory written but never committed (crash between write and
+    commit) is swept once past the grace window; referenced files survive."""
+    import os
+
+    from openmrs_module_epts_etl_spark.lake import LakeTable, remove_orphan_files
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    t.append(_df(spark, 6))
+    # simulate the crash: files written, commit never happened
+    orphan_files, _rel = t.write_data_files(_df(spark, 3))
+    assert orphan_files
+    n_before = t.read().count()
+    assert remove_orphan_files(t, grace_seconds=1e9) == 0  # inside grace → kept
+    removed = remove_orphan_files(t, grace_seconds=0.0)
+    assert removed >= len(orphan_files)
+    t2 = LakeTable(spark, t.path)
+    assert t2.read().count() == n_before  # committed data intact
