@@ -8,7 +8,7 @@ from .schemas import (
 from .generator import FeedSpec, generate_feed
 from .dedupe import dedupe_latest, dedupe_latest_salted
 from .merge import MergeResult, compact, merge_into, vacuum_tombstones
-from .mor import append_delta, compact_latest, read_state
+from .mor import append_delta, compact_latest, read_state, table_changes_as_feed
 from .pipeline import CdcPipeline, PipelineConfig
 from .oracle import expected_state_pandas, expected_state_sql
 
@@ -29,6 +29,7 @@ __all__ = [
     "append_delta",
     "compact_latest",
     "read_state",
+    "table_changes_as_feed",
     "CdcPipeline",
     "PipelineConfig",
     "expected_state_pandas",

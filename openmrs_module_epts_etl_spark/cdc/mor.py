@@ -123,6 +123,26 @@ def read_state(table: LakeTable, key: list[str] | None = None) -> DataFrame:
     return alive.select(*[c for c in alive.columns if not c.startswith("_")])
 
 
+def table_changes_as_feed(
+    table: LakeTable, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Convert an incremental scan of a MoR-ingested table into the engine's
+    change-event contract (op/lsn/origin + payload) so a *downstream*
+    pipeline can consume this table as its binlog — pipeline chaining, the
+    lake-side analog of the reference emitting detected_record_info for the
+    next stage (SURVEY.md §3.2). Exact row granularity on MoR delta commits
+    (each delta row is one applied event, tombstones → op='D')."""
+    inc = table.read_incremental(from_version, to_version, include_hidden=True)
+    deleted = F.coalesce(F.col("_deleted"), F.lit(False))
+    payload = [c for c in inc.columns if not c.startswith("_")]
+    return inc.select(
+        F.when(deleted, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("_lsn").alias("lsn"),
+        F.col("_origin").alias("origin"),
+        *payload,
+    )
+
+
 def compact_latest(
     table: LakeTable,
     key: list[str] | None = None,

@@ -230,6 +230,28 @@ class LakeTable:
             df = df.select(*[c for c in df.columns if not c.startswith("_")])
         return df
 
+    def read_incremental(
+        self, from_version: int, to_version: int | None = None, include_hidden: bool = False
+    ) -> DataFrame:
+        """Incremental scan: rows in data files *added* after ``from_version``
+        up to ``to_version`` (default: current) — the Iceberg
+        incremental-read analog, and the lake-side counterpart of the
+        reference's CHANGED/NEW_RECORDS_DETECTOR (SURVEY.md §2.1): a
+        downstream pipeline can tail this table as its change feed and chain.
+
+        Granularity is file-level: exact for append-style commits (MoR
+        deltas — each returned row is a newly applied event), while a
+        copy-on-write rewrite returns the rewritten partitions' current rows
+        (a superset of what changed). Both snapshots must still be retained
+        (see maintenance.expire_snapshots).
+        """
+        to_version = self.version if to_version is None else to_version
+        if to_version < from_version:
+            raise ValueError(f"to_version {to_version} < from_version {from_version}")
+        base = {f.path for f in self._load_commit(from_version).files}
+        added = [f for f in self._load_commit(to_version).files if f.path not in base]
+        return self.read(files=added, include_hidden=include_hidden)
+
     # ---------------------------------------------------------------- write
     def write_data_files(
         self, df: DataFrame, arrange: bool = True

@@ -120,3 +120,21 @@ def test_commit_conflict_single_writer_protocol(spark, tmp_path):
     # winner's state intact; refreshing the loser sees the winner's commit
     assert a.read().count() == 3
     assert b.refresh().read().count() == 3
+
+
+def test_read_incremental_appends(spark, tmp_path):
+    """Incremental scan returns exactly the rows of files added between two
+    retained snapshots (append-style commits → exact row granularity)."""
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    v0 = t.version
+    t.append(_df(spark, _rows(spark, 4)))
+    v1 = t.version
+    t.append(_df(spark, _rows(spark, 6, day="2026-01-02")))
+    t.append(_df(spark, _rows(spark, 2, day="2026-01-03")))
+    v3 = t.version
+    assert t.read_incremental(v0, v1).count() == 4
+    assert t.read_incremental(v1).count() == 8       # v1 → current
+    assert t.read_incremental(v1, v3).count() == 8
+    assert t.read_incremental(v3, v3).count() == 0   # empty range
+    with pytest.raises(ValueError):
+        t.read_incremental(v3, v1)

@@ -129,3 +129,49 @@ def test_mor_stale_insert_after_delete_fenced(spark, tmp_path):
     append_delta(t, spark.createDataFrame(rows1, event_schema()), fence_key="f", epoch_id=0)
     append_delta(t.refresh(), spark.createDataFrame(rows2, event_schema()), fence_key="f", epoch_id=1)
     assert read_state(t.refresh()).count() == 0
+
+
+def test_pipeline_chaining_via_incremental_read(spark, tmp_path):
+    """Table A is MoR-ingested from the feed; a DOWNSTREAM pipeline tails A's
+    incremental changes (table_changes_as_feed) and merges them into table B.
+    B's final user state must equal A's — the lake-side analog of chaining
+    sync stages through detected_record_info."""
+    from openmrs_module_epts_etl_spark.cdc import (
+        append_delta,
+        merge_into,
+        read_state,
+        table_changes_as_feed,
+    )
+
+    feed = generate_feed(spark, SPEC, num_partitions=8).persist()
+    a = LakeTable.create(
+        spark, str(tmp_path / "a"), transcript_schema(evolved=True),
+        [days("ts"), bucket(8, "conv_id")],
+    )
+    v_marks = [a.version]
+    # ingest the feed into A as 3 MoR delta epochs
+    bounds = feed.agg(F.min("delivery_seq"), F.max("delivery_seq")).collect()[0]
+    span = (int(bounds[1]) - int(bounds[0])) // 3 + 1
+    for e in range(3):
+        b = feed.filter(
+            (F.col("delivery_seq") >= int(bounds[0]) + e * span)
+            & (F.col("delivery_seq") < int(bounds[0]) + (e + 1) * span)
+        ).drop("delivery_seq")
+        append_delta(a, b, fence_key="chain-a", epoch_id=e)
+        a.refresh()
+        v_marks.append(a.version)
+
+    b_table = LakeTable.create(
+        spark, str(tmp_path / "b"), transcript_schema(evolved=True),
+        [days("ts"), bucket(8, "conv_id")],
+    )
+    # downstream: consume A's increments epoch by epoch into B
+    for e in range(3):
+        changes = table_changes_as_feed(a, v_marks[e], v_marks[e + 1])
+        merge_into(b_table, changes, fence_key="chain-b", epoch_id=e)
+        b_table.refresh()
+
+    key = ["conv_id", "turn_idx"]
+    a_state = read_state(a).orderBy(*key).toPandas()
+    b_state = b_table.read().select(*a_state.columns).orderBy(*key).toPandas()
+    pd.testing.assert_frame_equal(a_state, b_state, check_dtype=False)
