@@ -5,6 +5,7 @@ from .schemas import (
     event_schema,
     transcript_schema,
 )
+from .conflict import KEEP_EXISTING, NEWER_WINS, UPDATE_EXISTING, ConflictPolicy
 from .generator import FeedSpec, generate_feed
 from .dedupe import dedupe_latest, dedupe_latest_salted
 from .merge import MergeResult, compact, merge_into, vacuum_tombstones
@@ -18,6 +19,10 @@ __all__ = [
     "TRANSCRIPT_KEY",
     "transcript_schema",
     "event_schema",
+    "ConflictPolicy",
+    "NEWER_WINS",
+    "KEEP_EXISTING",
+    "UPDATE_EXISTING",
     "FeedSpec",
     "generate_feed",
     "dedupe_latest",

@@ -61,6 +61,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..lake.table import Commit, LakeTable
+from .conflict import NEWER_WINS, ConflictPolicy
 from .dedupe import dedupe_latest
 from .schemas import TRANSCRIPT_KEY, payload_columns
 
@@ -70,7 +71,7 @@ from .schemas import TRANSCRIPT_KEY, payload_columns
 # force-broadcasting a multi-hundred-MB payload serializes epoch time on the
 # driver-side relation build and does not scale with executors.
 BROADCAST_KEYS_MAX_ROWS = 4_000_000
-ACTIONS = ("insert", "update", "delete", "delete_new", "keep", "stale_skip")
+ACTIONS = ("insert", "update", "delete", "delete_new", "keep", "stale_skip", "policy_keep")
 CHANGE_ACTIONS = ("insert", "update", "delete", "delete_new")
 HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -95,8 +96,10 @@ def merge_into(
     fence_key: str | None = None,
     epoch_id: int | None = None,
     max_partition_metrics: int = 1024,
+    policy: ConflictPolicy | None = None,
 ) -> MergeResult:
     key = key or TRANSCRIPT_KEY
+    policy = policy or NEWER_WINS
     timings: dict[str, float] = {}
     t_start = time.perf_counter()
 
@@ -208,10 +211,28 @@ def merge_into(
 
         joined = dst.join(s, on=cond, how="left")  # AQE picks broadcast iff small
         has_src = F.col("s.lsn").isNotNull()
-        newer = has_src & (F.col("s.lsn") > F.coalesce(F.col("d._lsn"), F.lit(-1)))
+        # Conflict resolution per matched pair (cdc/conflict.py — the
+        # ConflictResolutionType catalog). Explicit policies govern I/U events
+        # against live dst rows only: deletes are a separately dispatched
+        # action in the reference (api:etl/model/EtlLoadHelper.java:274-300),
+        # and a tombstoned dst means "no existing record" to a policy — both
+        # fall back to the lsn guard, so reinsert-after-delete works and stale
+        # out-of-order events stay fenced regardless of policy.
+        lsn_newer = F.col("s.lsn") > F.coalesce(F.col("d._lsn"), F.lit(-1))
+        if policy.is_default:
+            wins, loss_label = lsn_newer, F.lit("stale_skip")
+        else:
+            guard_decides = F.coalesce(F.col("d._deleted"), F.lit(False)) | (
+                F.col("s.op") == "D"
+            )
+            wins = F.when(guard_decides, lsn_newer).otherwise(policy.src_wins())
+            loss_label = F.when(guard_decides, F.lit("stale_skip")).otherwise(
+                F.lit(policy.loss_action)
+            )
+        newer = has_src & wins
         action_matched = (
             F.when(~has_src, F.lit("keep"))
-            .when(~newer, F.lit("stale_skip"))
+            .when(~newer, loss_label)
             .when(F.col("s.op") == "D", F.lit("delete"))
             .otherwise(F.lit("update"))
         )
@@ -220,7 +241,13 @@ def merge_into(
 
         def pick(c: str):
             if c == "_lsn":
-                out = F.when(applied_src, F.col("s.lsn")).otherwise(F.col("d._lsn"))
+                # high-water mark: under the default policy wins ⇒ s.lsn is
+                # already the max; explicit policies may apply an older event's
+                # payload, but the fence must never regress
+                out = F.when(
+                    applied_src,
+                    F.greatest(F.col("s.lsn"), F.coalesce(F.col("d._lsn"), F.lit(-1).cast("long"))),
+                ).otherwise(F.col("d._lsn"))
             elif c == "_origin":
                 out = F.when(applied_src, F.col("s.origin")).otherwise(F.col("d._origin"))
             elif c == "_deleted":

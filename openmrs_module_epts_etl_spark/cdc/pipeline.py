@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..lake.table import LakeTable
+from .conflict import ConflictPolicy
 from .merge import MergeResult, merge_into
 from .schemas import TRANSCRIPT_KEY
 
@@ -49,6 +50,10 @@ class PipelineConfig:
     # — see cdc/mor.py; read the table via mor.read_state between compactions)
     mode: str = "cow"
     compact_every: int | None = 8  # mor only: compact after every K epochs
+    # Conflict-resolution policy for matched rows (cdc/conflict.py —
+    # ConflictResolutionType analog). Only the default newer-wins policy is
+    # expressible in MoR mode: its read-time winner is max-lsn by construction.
+    policy: "ConflictPolicy | None" = None
 
 
 class CdcPipeline:
@@ -87,6 +92,11 @@ class CdcPipeline:
         the checkpoint; safe to kill and re-run at any point.
         """
         cfg = self.config
+        if cfg.mode == "mor" and cfg.policy is not None and not cfg.policy.is_default:
+            raise ValueError(
+                "explicit conflict policies require mode='cow' — MoR's read-time "
+                "winner is max-lsn (newer_wins) by construction"
+            )
         table = LakeTable(self.spark, cfg.table_path)
         qtable = None
         if cfg.quarantine_path is not None:
@@ -139,6 +149,7 @@ class CdcPipeline:
                     key=list(cfg.key),
                     fence_key=cfg.fence_key,
                     epoch_id=epoch,
+                    policy=cfg.policy,
                 )
             results.append(res)
             self.save_checkpoint({"last_epoch": epoch})

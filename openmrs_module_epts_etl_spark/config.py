@@ -32,6 +32,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .cdc.conflict import ConflictPolicy
+
 # Registry of named record transformers (the plugin point). Each entry is a
 # Callable[[DataFrame], DataFrame] built from vectorized primitives.
 TRANSFORMERS: dict[str, Callable[[DataFrame], DataFrame]] = {}
@@ -88,6 +90,9 @@ class DstConfig:
     lsn_col: str = "lsn"
     op_col: str = "op"
     origin_col: str = "origin"
+    # conflictResolutionType / winningRecordFieldsInfo / observationDateFields
+    # (README.md:304-309) → cdc.conflict.ConflictPolicy; None = newer-wins
+    policy: ConflictPolicy | None = None
 
 
 @dataclass
@@ -106,6 +111,20 @@ class EtlItemConfig:
 class EtlConfig:
     process_name: str
     items: list[EtlItemConfig]
+
+    @staticmethod
+    def _parse_policy(d: dict | None) -> ConflictPolicy | None:
+        """``{"type": "KEEP_EXISTING"}`` /
+        ``{"type": "WINNING_FIELDS", "winningFields": [{"role": "assistant"}]}`` /
+        ``{"type": "OBSERVATION_DATES", "observationDateFields": ["ts"]}`` —
+        the reference's conflict config keys, case-insensitive."""
+        if not d:
+            return None
+        return ConflictPolicy(
+            kind=d.get("type", "newer_wins").lower(),
+            winning_groups=tuple(d.get("winningFields", [])),
+            observation_fields=tuple(d.get("observationDateFields", [])),
+        )
 
     @staticmethod
     def from_json(path_or_str: str) -> "EtlConfig":
@@ -147,6 +166,7 @@ class EtlConfig:
                                 )
                                 for m in dc.get("mappings", [])
                             ],
+                            policy=EtlConfig._parse_policy(dc.get("conflictResolution")),
                         )
                         for dc in it["dsts"]
                     ],
@@ -218,7 +238,8 @@ def run_etl_item(
             if "origin" not in frame.columns:
                 frame = frame.withColumn("origin", F.lit(item.name))
             res = merge_into(
-                table, frame, key=dst.key, fence_key=fence, epoch_id=epoch_id
+                table, frame, key=dst.key, fence_key=fence, epoch_id=epoch_id,
+                policy=dst.policy,
             )
             out[dst.table_path] = res.applied
     return out

@@ -146,3 +146,45 @@ def test_required_lookup_drops_rows(spark, setup, tmp_path):
     t3 = LakeTable(spark, item.dsts[0].table_path)
     ids = {r["id"] for r in t3.read().collect()}
     assert ids == {1, 2}  # row 3 dropped (required lookup missed)
+
+
+def test_config_conflict_policy_parse_and_apply(spark, setup, tmp_path):
+    # conflictResolution block (README.md:304-309 analog) parses into a
+    # ConflictPolicy and governs the merge across epochs
+    cfg, t1, t2 = setup
+    item = cfg.items[0]
+    item.dsts = [item.dsts[0]]
+    item.dsts[0].table_path = str(
+        LakeTable.create(spark, str(tmp_path / "t_keep"), t1.schema, []).path
+    )
+    parsed = EtlConfig.from_json(
+        json.dumps(
+            {
+                "processName": "p",
+                "items": [
+                    {
+                        "name": "i",
+                        "srcPath": "unused",
+                        "dsts": [
+                            {
+                                "tablePath": "unused",
+                                "conflictResolution": {"type": "KEEP_EXISTING"},
+                            }
+                        ],
+                    }
+                ],
+            }
+        )
+    )
+    assert parsed.items[0].dsts[0].policy.kind == "keep_existing"
+
+    item.dsts[0].policy = parsed.items[0].dsts[0].policy
+    run_etl_item(spark, item, epoch_id=0)
+    tk = LakeTable(spark, item.dsts[0].table_path)
+    before = {r["id"]: r["status"] for r in tk.read().collect()}
+    # second epoch re-sends the same rows (higher synthesized lsn) — with
+    # KEEP_EXISTING every matched row is kept, not overwritten
+    out = run_etl_item(spark, item, epoch_id=1)
+    assert out[item.dsts[0].table_path].get("policy_keep") == len(before)
+    after = {r["id"]: r["status"] for r in tk.refresh().read().collect()}
+    assert after == before
