@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from ..lake.table import Commit, LakeTable
+from ..lake.table import Commit, LakeTable, file_may_match
 from .conflict import NEWER_WINS, ConflictPolicy
 from .dedupe import dedupe_latest
 from .schemas import TRANSCRIPT_KEY, payload_columns
@@ -366,11 +366,21 @@ def vacuum_tombstones(table: LakeTable, min_lsn_keep: int) -> Commit | None:
     (api:engine/Engine.java:367-406).
     """
     expired = F.coalesce(F.col("_deleted"), F.lit(False)) & (F.col("_lsn") < min_lsn_keep)
-    # ONE distributed job finds every file containing an expired tombstone
-    # (predicate pushdown on _deleted/_lsn prunes row groups; only file names
-    # of actual hits reach the driver)
+    # manifest-level data skipping first: a file whose stats show no
+    # _deleted=true row or no _lsn below the horizon cannot contain an expired
+    # tombstone — on a tombstone-free table this returns without any Spark job
+    candidates = [
+        f
+        for f in table.files
+        if file_may_match(f, [("_deleted", "=", True), ("_lsn", "<", min_lsn_keep)])
+    ]
+    if not candidates:
+        return None
+    # ONE distributed job over the surviving files finds every file containing
+    # an expired tombstone (predicate pushdown on _deleted/_lsn prunes row
+    # groups; only file names of actual hits reach the driver)
     hits = (
-        table.read(include_hidden=True)
+        table.read(files=candidates, include_hidden=True)
         .filter(expired)
         .select(F.input_file_name().alias("f"))
         .distinct()

@@ -1,9 +1,10 @@
 from .maintenance import expire_snapshots, remove_orphan_files
 from .partitioning import PartitionField, bucket, days, identity
-from .table import LakeTable
+from .table import LakeTable, file_may_match
 
 __all__ = [
     "LakeTable",
+    "file_may_match",
     "PartitionField",
     "bucket",
     "days",

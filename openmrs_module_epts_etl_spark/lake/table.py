@@ -53,13 +53,66 @@ class DataFile:
     path: str                      # relative to table root
     partition: dict[str, str]      # partition col -> hive string value
     rows: int
+    # Per-column [min, max] harvested from the parquet footer at write time —
+    # the manifest-level data-skipping stats Iceberg keeps per data file.
+    # Values are JSON-safe (numbers/strings/bools; timestamps as ISO strings,
+    # which order lexicographically). A column absent here means "unknown" and
+    # never causes a skip. None on manifests written before stats existed.
+    stats: dict[str, list] | None = None
 
     def to_json(self) -> dict:
-        return {"path": self.path, "partition": self.partition, "rows": self.rows}
+        d = {"path": self.path, "partition": self.partition, "rows": self.rows}
+        if self.stats:
+            d["stats"] = self.stats
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["partition"], d["rows"])
+        return DataFile(d["path"], d["partition"], d["rows"], d.get("stats"))
+
+
+# ------------------------------------------------------- data skipping stats
+# predicate ops supported for manifest-level file skipping; anything else
+# must be expressed as a plain df.filter (no skipping, still correct)
+_SKIP_OPS = ("=", "<", "<=", ">", ">=")
+_STATS_MAX_COLS = 16
+
+
+def _norm_stat_value(v):
+    """JSON-safe, order-preserving encoding shared by harvest and compare."""
+    import datetime as _dt
+
+    if hasattr(v, "isoformat"):  # datetime / pandas.Timestamp / date
+        if getattr(v, "tzinfo", None) is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    return v
+
+
+def file_may_match(f: DataFile, where: list[tuple[str, str, object]]) -> bool:
+    """Can any row of ``f`` satisfy ALL predicates? Conservative: unknown
+    stats (missing column entry, pre-stats manifest, incomparable types)
+    never skip. Each predicate is checked independently, which is sound for a
+    conjunction: a file is skipped only when some single predicate is
+    unsatisfiable by every row."""
+    for col, op, val in where:
+        st = (f.stats or {}).get(col)
+        if not st or val is None:
+            continue
+        mn, mx = st
+        v = _norm_stat_value(val)
+        try:
+            if (
+                (op == "=" and (v < mn or v > mx))
+                or (op == ">" and mx <= v)
+                or (op == ">=" and mx < v)
+                or (op == "<" and mn >= v)
+                or (op == "<=" and mn > v)
+            ):
+                return False
+        except TypeError:
+            continue  # mixed types — treat as unknown
+    return True
 
 
 @dataclass
@@ -205,11 +258,20 @@ class LakeTable:
         files: Iterable[DataFile] | None = None,
         partition_filter: Callable[[dict[str, str]], bool] | None = None,
         include_hidden: bool = False,
+        where: list[tuple[str, str, object]] | None = None,
     ) -> DataFrame:
         """Snapshot read. ``partition_filter`` prunes files driver-side (the
         analog of Iceberg partition pruning); Spark's parquet reader still does
         row-group min/max + pushdown below that. Old (pre-evolution) files are
         read through the current schema: missing columns come back null.
+
+        ``where`` is a conjunction of simple predicates ``(col, op, value)``
+        with op ∈ {=, <, <=, >, >=}. Each predicate is BOTH used to skip whole
+        files via the manifest's per-file min/max stats (Iceberg data
+        skipping — files never reach Spark's file index at all) AND applied
+        as a real ``filter`` on the result, so semantics are exact whether or
+        not a file carries stats. At 100 TB this is the difference between a
+        point-lookup touching a handful of files and listing the whole table.
 
         The user-facing default hides engine columns (``_``-prefixed) and
         filters delete tombstones (``_deleted``); the merge path reads with
@@ -218,12 +280,29 @@ class LakeTable:
         sel = list(self._commit.files if files is None else files)
         if partition_filter is not None:
             sel = [f for f in sel if partition_filter(f.partition)]
+        if where:
+            for col, op, _v in where:
+                if op not in _SKIP_OPS:
+                    raise ValueError(f"unsupported predicate op {op!r}; use {_SKIP_OPS}")
+                if col not in {f.name for f in self.schema.fields}:
+                    raise ValueError(f"unknown column {col!r} in where predicate")
+            sel = [f for f in sel if file_may_match(f, where)]
         schema = self.schema
         if not sel:
             df = self.spark.createDataFrame([], schema)
         else:
             paths = [os.path.join(self.path, f.path) for f in sel]
             df = self.spark.read.schema(schema).parquet(*paths)
+        if where:
+            ops: dict[str, Callable] = {
+                "=": lambda c, v: c == v,
+                "<": lambda c, v: c < v,
+                "<=": lambda c, v: c <= v,
+                ">": lambda c, v: c > v,
+                ">=": lambda c, v: c >= v,
+            }
+            for col, op, v in where:
+                df = df.filter(ops[op](F.col(col), F.lit(v)))
         if not include_hidden:
             if "_deleted" in df.columns:
                 df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
@@ -303,6 +382,12 @@ class LakeTable:
         w = writer.write.mode("append")
         if pnames:
             w = w.partitionBy(*pnames)
+        # modern timestamp encoding: Spark's default INT96 writes no usable
+        # column min/max, which would blind the manifest's data-skipping
+        # stats for ts columns (and INT96 is deprecated in parquet anyway)
+        tstype = "spark.sql.parquet.outputTimestampType"
+        prev_ts = self.spark.conf.get(tstype, None)
+        self.spark.conf.set(tstype, "TIMESTAMP_MICROS")
         advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
         prev = self.spark.conf.get(advisory, None)
         # target write-task granularity. AQE compares *compressed* shuffle
@@ -323,6 +408,10 @@ class LakeTable:
                 self.spark.conf.unset(advisory)
             else:
                 self.spark.conf.set(advisory, prev)
+            if prev_ts is None:
+                self.spark.conf.unset(tstype)
+            else:
+                self.spark.conf.set(tstype, prev_ts)
 
         return self._discover_files(rel_dir, spec), rel_dir
 
@@ -348,8 +437,38 @@ class LakeTable:
 
         def load(item) -> DataFile:
             full, rel, partition = item
-            # footer-only read; parallel because this is pure I/O + C parsing
-            return DataFile(path=rel, partition=partition, rows=pq.ParquetFile(full).metadata.num_rows)
+            # footer-only read; parallel because this is pure I/O + C parsing.
+            # Harvest per-column min/max for data skipping while we're here —
+            # the footer is already in memory, so the stats are free.
+            md = pq.ParquetFile(full).metadata
+            agg: dict[str, list] = {}
+            dead: set[str] = set()
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    name = c.path_in_schema
+                    if "." in name or name in dead or (
+                        name not in agg and len(agg) >= _STATS_MAX_COLS
+                    ):
+                        continue
+                    st = c.statistics
+                    if st is None or not st.has_min_max or isinstance(st.min, bytes):
+                        # a row group without usable stats poisons the column:
+                        # its rows' range is unknown, so no bound is safe
+                        agg.pop(name, None)
+                        dead.add(name)
+                        continue
+                    mn, mx = _norm_stat_value(st.min), _norm_stat_value(st.max)
+                    if name in agg:
+                        e = agg[name]
+                        e[0] = min(e[0], mn)
+                        e[1] = max(e[1], mx)
+                    else:
+                        agg[name] = [mn, mx]
+            return DataFile(
+                path=rel, partition=partition, rows=md.num_rows, stats=agg or None
+            )
 
         with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
             return list(ex.map(load, todo))

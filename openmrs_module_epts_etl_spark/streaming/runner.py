@@ -43,6 +43,7 @@ class StreamingCdcRunner:
         max_files_per_trigger: int = 4,
         mode: str = "cow",
         compact_every: int | None = 8,
+        policy=None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -58,6 +59,11 @@ class StreamingCdcRunner:
         # a 10^10-event/day streaming deployment runs)
         self.mode = mode
         self.compact_every = compact_every
+        # conflict policy (cdc/conflict.py), CoW mode only — same constraint
+        # and reasoning as PipelineConfig.policy
+        if mode == "mor" and policy is not None and not policy.is_default:
+            raise ValueError("explicit conflict policies require mode='cow'")
+        self.policy = policy
         self.batch_results: list = []
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
@@ -83,6 +89,7 @@ class StreamingCdcRunner:
                 key=self.key,
                 fence_key=self.fence_key,
                 epoch_id=int(epoch_id),
+                policy=self.policy,
             )
         self.batch_results.append(res)
 

@@ -138,3 +138,83 @@ def test_read_incremental_appends(spark, tmp_path):
     assert t.read_incremental(v3, v3).count() == 0   # empty range
     with pytest.raises(ValueError):
         t.read_incremental(v3, v1)
+
+
+def test_manifest_stats_and_data_skipping(spark, tmp_path):
+    import datetime as dt
+
+    from openmrs_module_epts_etl_spark.lake import file_may_match
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [days("ts")])
+    # two disjoint days → two files with disjoint turn_idx and ts ranges
+    t.append(_df(spark, _rows(spark, 50, day="2026-01-01")))
+    rows2 = [
+        (f"conv-{i % 5}", 1000 + i, f"late-{i}",
+         dt.datetime(2026, 2, 1) + dt.timedelta(seconds=i))
+        for i in range(50)
+    ]
+    t = t.refresh()
+    t.append(_df(spark, rows2))
+    t = t.refresh()
+    files = t.files
+    assert len(files) >= 2
+    # every file carries min/max stats for the scalar columns
+    for f in files:
+        assert f.stats and "turn_idx" in f.stats and "ts" in f.stats and "conv_id" in f.stats
+    # a predicate only the second batch satisfies skips every first-day file
+    where = [("turn_idx", ">=", 1000)]
+    kept = [f for f in files if file_may_match(f, where)]
+    assert 0 < len(kept) < len(files)
+    got = t.read(where=where)
+    assert got.count() == 50
+    assert {r.text for r in got.limit(3).collect()} <= {f"late-{i}" for i in range(50)}
+    # timestamp predicates skip via ISO-encoded stats
+    ts_where = [("ts", ">=", dt.datetime(2026, 2, 1))]
+    assert 0 < len([f for f in files if file_may_match(f, ts_where)]) < len(files)
+    assert t.read(where=ts_where).count() == 50
+    # exact semantics: where result == full-scan filter result
+    full = t.read().filter(F.col("turn_idx") >= 1000).count()
+    assert full == 50
+    # unknown column / bad op rejected
+    with pytest.raises(ValueError):
+        t.read(where=[("nope", "=", 1)])
+    with pytest.raises(ValueError):
+        t.read(where=[("turn_idx", "!=", 1)])
+
+
+def test_stats_missing_is_conservative(spark, tmp_path):
+    from openmrs_module_epts_etl_spark.lake import file_may_match
+    from openmrs_module_epts_etl_spark.lake.table import DataFile
+
+    legacy = DataFile(path="x", partition={}, rows=1)  # pre-stats manifest
+    assert file_may_match(legacy, [("turn_idx", "=", 10**9)])
+    partial = DataFile(path="x", partition={}, rows=1, stats={"a": [0, 5]})
+    assert file_may_match(partial, [("b", "=", 99)])  # unknown col → keep
+    assert not file_may_match(partial, [("a", ">", 5)])
+    assert file_may_match(partial, [("a", ">=", 5)])
+    # incomparable types (schema drift) → keep
+    assert file_may_match(partial, [("a", "=", "zzz")])
+
+
+def test_vacuum_skips_scan_without_tombstones(spark, tmp_path):
+    from openmrs_module_epts_etl_spark.cdc import merge_into, vacuum_tombstones
+    from openmrs_module_epts_etl_spark.cdc.schemas import EVENT_SCHEMA
+    from openmrs_module_epts_etl_spark.cdc import transcript_schema
+    import datetime as dt
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), [days("ts"), bucket(4, "conv_id")]
+    )
+    T = dt.datetime(2026, 3, 1)
+    ins = [(i, "I", f"c{i%3}", i, "user", f"t{i}", None, T, "o") for i in range(1, 20)]
+    merge_into(t, spark.createDataFrame(ins, EVENT_SCHEMA))
+    t = t.refresh()
+    # no tombstones anywhere → stats prove it → no rewrite commit
+    assert vacuum_tombstones(t, min_lsn_keep=10**9) is None
+    # delete one key, vacuum below horizon → rewrites exactly the dirty file
+    merge_into(t, spark.createDataFrame([(50, "D", "c1", 1, None, None, None, T, "o")], EVENT_SCHEMA))
+    t = t.refresh()
+    c = vacuum_tombstones(t, min_lsn_keep=10**9)
+    assert c is not None
+    t = t.refresh()
+    assert vacuum_tombstones(t, min_lsn_keep=10**9) is None  # now clean again
