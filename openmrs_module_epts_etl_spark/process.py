@@ -1,0 +1,158 @@
+"""Process orchestration: operations → items, serial/parallel, chained.
+
+The reference's control plane above the per-table engines
+(SURVEY.md §2.10, §3.1):
+
+- a *process* runs a list of root *operations*; each operation runs its
+  configured items SERIAL or PARALLEL (``processingMode``,
+  api:controller/OperationController.java:178-323,
+  api:conf/types/EtlProcessingModeType.java);
+- *child operations* start when their parent finishes — operation chaining
+  (api:controller/ProcessController.java:232-270);
+- a *status file* per operation records state + metrics, re-saved as it runs
+  (api:controller/OperationController.java:550-578);
+- a *stop-request file* is polled between work units; when present the
+  process winds down gracefully (api:controller/ProcessController.java:298-305,
+  440-462);
+- an *already-finished short-circuit* skips operations whose status file says
+  FINISHED for this run id (api:controller/OperationController.java:325-356).
+
+Spark-first restatement: items are config-driven ETL runs (config.py) whose
+sinks are epoch-fenced lake commits — so the short-circuit and every resume
+path are *double*-guarded: even if a status file is lost, replayed merges are
+no-ops at the commit log. PARALLEL mode drives several items through one
+SparkSession from a thread pool (Spark schedules concurrent jobs fine;
+executor cores are the real resource) — the analog of one engine thread per
+item, with the cluster scheduler replacing the reference's hand-rolled pool
+(api:utilities/concurrent/ThreadPoolService.java).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from .config import EtlItemConfig, run_etl_item
+
+
+@dataclass
+class OperationConfig:
+    """One operation: a set of items plus chained children (EtlOperationConfig)."""
+
+    name: str
+    items: list[EtlItemConfig] = field(default_factory=list)
+    processing_mode: str = "serial"  # serial | parallel
+    max_item_threads: int = 4        # parallel mode fan-out (maxSupportedEngines analog)
+    children: list["OperationConfig"] = field(default_factory=list)
+
+    def __post_init__(self):
+        if self.processing_mode not in ("serial", "parallel"):
+            raise ValueError(f"processingMode must be serial|parallel, got {self.processing_mode!r}")
+
+
+class ProcessStopped(RuntimeError):
+    """A stop request was honored; partial state is consistent (fenced commits)."""
+
+
+class ProcessRunner:
+    """Run a process = forest of operations with chaining, status, stop."""
+
+    def __init__(self, spark: SparkSession, process_name: str, status_dir: str):
+        self.spark = spark
+        self.process_name = process_name
+        self.status_dir = status_dir
+        os.makedirs(status_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ status I/O
+    def _status_path(self, op: OperationConfig) -> str:
+        return os.path.join(self.status_dir, f"op-{op.name}.json")
+
+    def _load_status(self, op: OperationConfig) -> dict:
+        p = self._status_path(op)
+        if os.path.exists(p):
+            with open(p) as fh:
+                return json.load(fh)
+        return {}
+
+    def _save_status(self, op: OperationConfig, status: dict) -> None:
+        p = self._status_path(op)
+        tmp = p + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(status, fh)
+        os.rename(tmp, p)  # atomic publish, same trick as the commit log
+
+    def stop_requested(self) -> bool:
+        return os.path.exists(os.path.join(self.status_dir, "stop"))
+
+    def request_stop(self) -> None:
+        """The analog of the reference's stop file touched by an operator."""
+        with open(os.path.join(self.status_dir, "stop"), "w") as fh:
+            fh.write(str(time.time()))
+
+    # ------------------------------------------------------------------ run
+    def run(self, operations: list[OperationConfig], run_id: int = 0) -> dict:
+        """Run root operations in order; each operation's children chain after
+        it. Returns {op_name: status}. ``run_id`` doubles as the epoch id the
+        item merges are fenced with, so a killed/re-run process converges to
+        the same table state no matter where it died.
+        """
+        out: dict = {}
+        for op in operations:
+            self._run_operation(op, run_id, out)
+        return out
+
+    def _run_operation(self, op: OperationConfig, run_id: int, out: dict) -> None:
+        if self.stop_requested():
+            raise ProcessStopped(f"stop requested before operation {op.name!r}")
+        status = self._load_status(op)
+        if status.get("state") == "FINISHED" and status.get("run_id") == run_id:
+            # already-finished short-circuit; the commit-log fence would make a
+            # re-run harmless anyway, this just avoids replanning the no-ops
+            out[op.name] = status
+        else:
+            status = {"state": "RUNNING", "run_id": run_id, "started": time.time(), "items": {}}
+            self._save_status(op, status)
+
+            def run_item(item: EtlItemConfig) -> tuple[str, dict]:
+                if self.stop_requested():
+                    return item.name, {"stopped": True}
+                fence = f"{self.process_name}:{op.name}:{item.name}"
+                return item.name, run_etl_item(
+                    self.spark, item, epoch_id=run_id, fence_prefix=fence
+                )
+
+            if op.processing_mode == "parallel" and len(op.items) > 1:
+                with ThreadPoolExecutor(max_workers=op.max_item_threads) as ex:
+                    results = list(ex.map(run_item, op.items))
+            else:
+                results = []
+                for item in op.items:
+                    results.append(run_item(item))
+                    self._save_status(
+                        op, {**status, "items": {k: _summ(v) for k, v in results}}
+                    )
+            stopped = [k for k, v in results if v.get("stopped")]
+            status = {
+                "state": "STOPPED" if stopped else "FINISHED",
+                "run_id": run_id,
+                "finished": time.time(),
+                "items": {k: _summ(v) for k, v in results},
+            }
+            self._save_status(op, status)
+            out[op.name] = status
+            if stopped:
+                raise ProcessStopped(f"stop requested during operation {op.name!r}")
+        # chaining: children start only after the parent finished
+        for child in op.children:
+            self._run_operation(child, run_id, out)
+
+
+def _summ(v: dict) -> dict:
+    """JSON-safe summary of a run_etl_item result for the status file."""
+    return {k: (dict(val) if isinstance(val, dict) else val) for k, val in v.items()}
