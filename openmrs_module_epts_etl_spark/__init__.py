@@ -22,6 +22,10 @@ engine (see SURVEY.md). This package re-expresses its semantics Spark-first:
                    vector similarity. Vectorized (native expressions or pandas
                    UDFs); no per-row Python.
 - ``plans``      — the query library exposed through __spark_entry__.py.
+- ``config``     — the reference's JSON-config UX (field mappings, lookups,
+                   transformers, multi-destination fan-out, conflict policies).
+- ``process``    — process control plane: operations → items serial/parallel,
+                   chained child operations, status files, stop/resume.
 """
 
 __version__ = "0.1.0"
