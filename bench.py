@@ -200,12 +200,29 @@ if __name__ == "__main__":
 """
 
 
-def calibrate(cores: int) -> float:
-    """Perfectly-parallel pinned busy-work throughput (tasks/sec) at this
-    core count — the sandbox's own scaling ceiling, measured under the same
-    host conditions as the adjacent engine run."""
+_CAL_BW = """
+import os, sys, time, multiprocessing as mp
+import numpy as np
+cores = int(sys.argv[1])
+def burn(_):
+    os.sched_setaffinity(0, set(range(cores)))
+    a = np.arange(8_000_000, dtype=np.float64)  # 64 MB >> L3 share per task
+    s = 0.0
+    for _ in range(6):
+        s += float(a.sum())
+    return s
+if __name__ == "__main__":
+    mp.Pool(cores).map(burn, range(cores))  # warmup
+    t0 = time.perf_counter()
+    tasks = cores * 3
+    mp.Pool(cores).map(burn, range(tasks))
+    print(round(tasks / (time.perf_counter() - t0), 3))
+"""
+
+
+def _run_cal(script: str, cores: int) -> float:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as fh:
-        fh.write(_CAL)
+        fh.write(script)
         p = fh.name
     try:
         out = subprocess.run(
@@ -214,6 +231,23 @@ def calibrate(cores: int) -> float:
         return float(out.stdout.strip().splitlines()[-1])
     finally:
         os.unlink(p)
+
+
+def calibrate(cores: int) -> float:
+    """Perfectly-parallel pinned busy-work throughput (tasks/sec) at this
+    core count — the sandbox's own scaling ceiling, measured under the same
+    host conditions as the adjacent engine run. Cache-resident, so it is the
+    CONSERVATIVE ceiling: it stays near-linear even when co-tenants are
+    saturating DRAM bandwidth (which is what actually throttles shuffle)."""
+    return _run_cal(_CAL, cores)
+
+
+def calibrate_bw(cores: int) -> float:
+    """Memory-bandwidth-bound variant (streaming 64 MB numpy sums): a second
+    ceiling reported per pair. Shuffle-heavy engine work sits between the two
+    bounds; normalization deliberately keeps using the cache-resident one so
+    reported efficiency is never inflated by a bandwidth-squeezed host."""
+    return _run_cal(_CAL_BW, cores)
 
 
 def run_level(cores: int, n_events: int, epochs: int, reps: int = 1, mode: str = "cow") -> dict:
@@ -308,15 +342,21 @@ def main() -> None:
     pairs = []
     for _ in range(max(reps, 1)):
         c_lo = calibrate(n_lo)
+        cb_lo = calibrate_bw(n_lo)
         p_lo = run_level(n_lo, n_events, epochs, reps=1, mode="mor")
         c_hi = calibrate(n_lo * 4)
+        cb_hi = calibrate_bw(n_lo * 4)
         p_hi = run_level(n_lo * 4, n_events, epochs, reps=1, mode="mor")
         raw = p_hi["events_per_sec"] / (4.0 * p_lo["events_per_sec"])
         ceil = min(max(c_hi / (4.0 * c_lo), 0.5), 1.0)
+        # second bound, reported not used for normalization (see calibrate_bw)
+        ceil_bw = min(max(cb_hi / (4.0 * cb_lo), 0.25), 1.0)
         pairs.append({
             "lo": p_lo, "hi": p_hi, "raw": round(raw, 3), "ceiling": round(ceil, 3),
+            "bandwidth_ceiling": round(ceil_bw, 3),
             "normalized": round(min(raw / ceil, 1.0), 3),
             "calibration_tasks_per_sec": {f"{n_lo}_cores": c_lo, f"{n_lo * 4}_cores": c_hi},
+            "bw_calibration_tasks_per_sec": {f"{n_lo}_cores": cb_lo, f"{n_lo * 4}_cores": cb_hi},
         })
     best = max(pairs, key=lambda p: p["normalized"])
     lo, hi = best["lo"], best["hi"]
@@ -380,6 +420,7 @@ def main() -> None:
             "efficiency_N_to_4N": efficiency,
             "efficiency_raw": round(raw_eff, 3),
             "hardware_parallel_ceiling": round(ceiling, 3),
+            "bandwidth_parallel_ceiling": best.get("bandwidth_ceiling"),
             "calibration_tasks_per_sec": {
                 f"{n_lo}_cores": cal_lo,
                 f"{n_lo * 4}_cores": cal_hi,
@@ -436,7 +477,13 @@ embarrassingly parallel non-JVM work, and its behavior drifts minute to
 minute (virtualized frequency / co-tenant steal, uncontrollable from the
 guest), so the per-pair ceiling — not 4.0 — is the denominator a faithful
 cluster analogy permits; raw, ceiling, and every measured pair are reported
-(JSON `scaling.all_pairs`) so nothing is hidden.
+(JSON `scaling.all_pairs`) so nothing is hidden. A second, memory-bandwidth-
+bound ceiling (streaming 64 MB numpy sums; this pair: {best.get("bandwidth_ceiling")})
+is reported per pair as `bandwidth_ceiling` — the busy-loop is cache-resident
+and stays near-linear even when co-tenants saturate DRAM (which is what
+actually throttles shuffle), so shuffle-bound engine work sits between the
+two bounds; normalization deliberately uses only the conservative
+cache-resident ceiling.
 
 Methodology: each level runs in its own subprocess pinned with
 ``sched_setaffinity`` to exactly N cpus (JVM GC/JIT/IO threads included, like
