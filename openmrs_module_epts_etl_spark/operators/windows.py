@@ -64,11 +64,12 @@ def sessionize(
 ) -> DataFrame:
     """Assign session ids per key: a new session starts when the gap to the
     previous event exceeds ``gap_seconds``. lag + conditional cumulative sum —
-    both windows partition by the key, so no global sort. Gap compares at
-    microsecond precision (unix_micros handles TIMESTAMP_NTZ via ltz cast)."""
+    both windows partition by the key, so no global sort. The gap is computed
+    with ``timestamp_diff`` directly on the stored values (never converting
+    through the session timezone), so NTZ data under a DST-observing session
+    tz can't shift a gap by ±3600s — microsecond precision either way."""
     w = Window.partitionBy(key_col).orderBy(ts_col)
-    us = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
-    gap = us - F.lag(us).over(w)
+    gap = F.timestamp_diff("MICROSECOND", F.lag(F.col(ts_col)).over(w), F.col(ts_col))
     df = df.withColumn(
         "__new_session", F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     )

@@ -75,7 +75,7 @@ WITH lagged AS (
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
 )
-SELECT user_id, SUM(new_s) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, SUM(new_s)::BIGINT AS n_sessions, COUNT(*) AS n_events
 FROM lagged GROUP BY user_id
 """
 

@@ -66,8 +66,8 @@ def doc_stats_by_lang(spark: SparkSession, sf: str) -> DataFrame:
 
 
 DOC_STATS_SQL = f"""
-SELECT lang, COUNT(*) AS n_docs, SUM({_TOKENS_SQL}) AS total_tokens,
-       SUM(n_chars) AS total_chars
+SELECT lang, COUNT(*) AS n_docs, SUM({_TOKENS_SQL})::BIGINT AS total_tokens,
+       SUM(n_chars)::BIGINT AS total_chars
 FROM documents GROUP BY lang
 """
 
