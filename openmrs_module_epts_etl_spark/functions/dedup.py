@@ -36,6 +36,31 @@ def _shingle_code(col: Column) -> Column:
     return F.pmod(F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint"), F.lit(MERSENNE_P))
 
 
+# SimHash width: 60 bits = 15 hex chars of md5 — the widest slice that still
+# fits signed int64 on BOTH engines, so every bit/shift/xor is portable to
+# the DuckDB oracle (('0x' || substr(md5(s || '|seed'),1,15))::BIGINT).
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4  # pigeonhole banding: 4 × 15-bit chunks
+_POLY_M = 1_000_003  # band-bucket polynomial multiplier (acc·M + v stays < 2^62)
+
+
+def hash60(col: Column, seed: int) -> Column:
+    """Portable seeded 60-bit hash (see SIMHASH_BITS)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(col, F.lit(f"|{seed}"))), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def poly_combine(cols: list[Column]) -> Column:
+    """Order-sensitive polynomial hash of int64 columns, mod p — the band
+    bucket key. Pure arithmetic so the SQL oracle computes the identical
+    value (each step: acc < p ⇒ acc·M + v < 2^62, no overflow)."""
+    acc = F.lit(0).cast("bigint")
+    for c in cols:
+        acc = F.pmod(acc * F.lit(_POLY_M) + c, F.lit(MERSENNE_P))
+    return acc
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) rows: distinct word-level n-grams of
     whitespace-normalized, lowercased text. Documents shorter than n words
@@ -106,7 +131,7 @@ def lsh_candidate_pairs(
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(F.xxhash64(F.lit(b), *cols).alias(f"band{b}"))
+        band_cols.append(poly_combine([F.lit(b).cast("bigint"), *cols]).alias(f"band{b}"))
     banded = signatures.select("id", *band_cols)
     stacked = banded.select(
         "id",
@@ -158,39 +183,48 @@ def ngram_jaccard_pairs(
 
 
 def simhash(shingles: DataFrame, seed: int = 42) -> DataFrame:
-    """(id, simhash): 64-bit SimHash from shingle hashes — bit i of the result
-    is 1 iff the sum over shingles of ±1 (by bit i of xxhash64(shingle)) > 0.
-    64 conditional-sum aggregations (64-long buffer → Tungsten HashAggregate),
+    """(id, simhash): 60-bit SimHash from shingle hashes — bit i of the result
+    is 1 iff the sum over shingles of ±1 (by bit i of hash60(shingle)) > 0.
+    60 conditional-sum aggregations (60-long buffer → Tungsten HashAggregate),
     one shuffle of (id, 8-byte hash) rows, no UDF. The hash is materialized
-    once per row — 64 aggregations each re-evaluating xxhash64 would hash
-    every shingle 64 times (no CSE across aggregate functions)."""
-    hashed = shingles.select("id", F.xxhash64(F.col("shingle"), F.lit(seed)).alias("__h"))
+    once per row — 60 aggregations each re-evaluating the md5 would hash
+    every shingle 60 times (no CSE across aggregate functions). 60 bits (not
+    64) keeps every value positive int64 and bit-for-bit reproducible in the
+    DuckDB oracle (plans/text_queries._simhash_sql)."""
+    hashed = shingles.select("id", hash60(F.col("shingle"), seed).alias("__h"))
     h = F.col("__h")
     aggs = [
         F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"s{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     sums = hashed.groupBy("id").agg(*aggs)
     sig = sum_ints(
-        [F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") * (1 << i) if i < 63 else F.lit(-(1 << 63)).cast("long")).otherwise(0) for i in range(64)]
+        [
+            F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in range(SIMHASH_BITS)
+        ]
     )
     return sums.select("id", sig.alias("simhash"))
 
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs at Hamming distance ≤ max_hamming via pigeonhole
-    banding: split 64 bits into 4 chunks; distance ≤ 3 ⇒ at least one chunk
+    banding: split 60 bits into 4 chunks; distance ≤ 3 ⇒ at least one chunk
     identical. One exploded (chunk_idx, chunk_val) self-join replaces four
     separate chunk joins + union — a single exchange pair, and the bucket key
     (chunk_idx, chunk_val) keeps candidates per-bucket, never corpus²; exact
     distance verified with bit_count(xor)."""
+    bits_per_chunk = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << bits_per_chunk) - 1
     chunk = F.explode(
         F.array(*[
             F.struct(
                 F.lit(c).alias("ci"),
-                F.shiftrightunsigned(F.col("simhash"), 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+                F.shiftrightunsigned(F.col("simhash"), bits_per_chunk * c)
+                .bitwiseAND(F.lit(mask))
+                .alias("cv"),
             )
-            for c in range(4)
+            for c in range(SIMHASH_CHUNKS)
         ])
     )
     t = sig.select("id", "simhash", chunk.alias("ch")).select(

@@ -10,6 +10,9 @@ from pyspark.sql import functions as F
 
 from ..functions.dedup import (
     MERSENNE_P,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    _POLY_M,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_coefficients,
@@ -191,7 +194,98 @@ def _ngram_jaccard_sql(n: int = 3, min_j: float = 0.5) -> str:
     """
 
 
-# ------- xxhash64-based ops: Spark-only (driver records rows-only checks)
+def _shingle_cte_sql(n: int = 3) -> str:
+    """norm/sh CTEs shared by every shingle-based oracle — identical text
+    normalization + word n-grams as functions.dedup.word_shingles."""
+    return f"""
+    norm AS (
+      SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS words
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(list_transform(
+               generate_series(1, GREATEST(len(words) - {n - 1}, 1)),
+               i -> array_to_string(words[i:i+{n - 1}], ' '))) AS shingle
+      FROM norm)"""
+
+
+def _simhash_sig_ctes(n: int = 3, seed: int = 42) -> str:
+    """CTE chain ending in ``sig(doc_id, simhash)`` — the exact 60-bit SimHash
+    of functions.dedup.simhash, bit for bit."""
+    sums = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH {_shingle_cte_sql(n)},
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle || '|{seed}'), 1, 15))::BIGINT AS h
+      FROM sh),
+    sums AS (
+      SELECT doc_id,
+        {sums}
+      FROM hashed GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, ({sig})::BIGINT AS simhash FROM sums)"""
+
+
+def _simhash_sql(n: int = 3, seed: int = 42) -> str:
+    return _simhash_sig_ctes(n, seed) + "\n    SELECT doc_id, simhash FROM sig"
+
+
+def _simhash_near_dups_sql(n: int = 3, seed: int = 42, max_hamming: int = 3) -> str:
+    bpc = SIMHASH_BITS // SIMHASH_CHUNKS
+    mask = (1 << bpc) - 1
+    return f"""{_simhash_sig_ctes(n, seed)},
+    ch AS (
+      SELECT doc_id, simhash, ci, (simhash >> ({bpc} * ci)) & {mask} AS cv
+      FROM (SELECT doc_id, simhash, unnest(generate_series(0, {SIMHASH_CHUNKS - 1})) AS ci FROM sig)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS sha, b.simhash AS shb
+      FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(sha, shb))::INT AS hamming
+    FROM pairs WHERE bit_count(xor(sha, shb)) <= {max_hamming}"""
+
+
+def _lsh_candidates_sql(
+    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4, n: int = 3
+) -> str:
+    """MinHash-LSH candidate pairs — same signatures as _minhash_sql, same
+    polynomial band buckets as functions.dedup.poly_combine."""
+    mins = ",\n        ".join(
+        f"MIN(({a} * code + {b}) % {MERSENNE_P}) AS h{i}"
+        for a, b, i in minhash_coefficients(num_hashes)
+    )
+
+    def bucket_expr(b: int) -> str:
+        acc = "0"
+        for v in [str(b)] + [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]:
+            acc = f"(({acc}) * {_POLY_M} + {v}) % {MERSENNE_P}"
+        return acc
+
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_shingle_cte_sql(n)},
+    coded AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE_P} AS code
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM coded GROUP BY doc_id),
+    stacked AS (
+      {stacked})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM stacked a JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket
+    WHERE a.doc_id < b.doc_id"""
+
+
 def simhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents")
     sh = word_shingles(docs, "doc_id", "text", n=3)
@@ -230,6 +324,7 @@ ORACLES = {
     "exact_dup_groups": EXACT_DUP_SQL,
     "minhash_signatures_16": _minhash_sql(16, 3),
     "ngram_jaccard_pairs": _ngram_jaccard_sql(3, 0.5),
-    # simhash_* / minhash_lsh_candidates: xxhash64 has no DuckDB equivalent →
-    # rows-only check by design.
+    "simhash_signatures": _simhash_sql(3, 42),
+    "simhash_near_dups": _simhash_near_dups_sql(3, 42, 3),
+    "minhash_lsh_candidates": _lsh_candidates_sql(16, 4, 4, 3),
 }

@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vector import brute_force_cosine_topk, lsh_bucketed_topk, norm
+from ..functions.vector import (
+    _hyperplanes,
+    brute_force_cosine_topk,
+    lsh_bucketed_topk,
+    norm,
+)
 from .base import t
 
 N_QUERIES = 3  # first N vec_ids serve as query vectors
@@ -91,11 +96,56 @@ FROM e GROUP BY label, pos
 
 def ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Scale-path ANN: hyperplane-LSH bucketing via vectorized pandas UDF.
-    Approximate by construction → rows-only driver check; recall vs the exact
-    baseline is asserted in tests/test_functions.py."""
+    Deterministic given the seed, so it IS oracle-checkable: the hyperplane
+    constants are generated once in Python and embedded verbatim into both
+    the numpy matmul (Spark side) and the generated DuckDB SQL (_ann_lsh_sql)
+    — same trick as the shared minhash coefficients. Recall vs the exact
+    baseline is additionally asserted in tests/test_functions.py."""
     emb = t(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return lsh_bucketed_topk(emb, queries, dim=64, k=TOP_K)
+
+
+def _ann_lsh_sql(dim: int = 64, n_planes: int = 12, seed: int = 42) -> str:
+    """DuckDB twin of lsh_bucketed_topk: identical hyperplane constants,
+    bucket = sign-bit pattern of the dot products, multi-probe at Hamming ≤ 1,
+    exact cosine ranking inside the probed buckets. Float64 repr round-trips
+    exactly, so the embedded literals equal the numpy values bit-for-bit; a
+    sign flip would need |dot| below the cross-engine summation-order error
+    (~1e-13 relative) — vanishingly unlikely and checked empirically."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(ev, ["
+        + ", ".join(repr(float(x)) for x in planes[p])
+        + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    probes = ", ".join(f"xor(qbucket, {1 << i})" for i in range(n_planes))
+    return f"""
+WITH sigc AS (
+  SELECT vec_id, embedding,
+         ({bucket_terms})::BIGINT AS bucket
+  FROM (SELECT vec_id, embedding, list_transform(embedding, v -> v::DOUBLE) AS ev
+        FROM embeddings)),
+q AS (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
+      FROM sigc WHERE vec_id < {N_QUERIES}),
+qp AS (SELECT query_id, qv, unnest(list_prepend(qbucket, [{probes}])) AS bucket FROM q),
+scored AS (
+  SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id,
+         ROUND(
+           list_sum(list_transform(list_zip(qp.qv, c.embedding),
+                                   x -> (x[1]::DOUBLE) * (x[2]::DOUBLE)))
+           / (sqrt(list_sum(list_transform(qp.qv, v -> (v::DOUBLE) * (v::DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, v -> (v::DOUBLE) * (v::DOUBLE))))),
+           4) AS cosine_sim
+  FROM sigc c JOIN qp ON c.bucket = qp.bucket
+  WHERE c.vec_id <> qp.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
 
 
 QUERIES = {
@@ -109,4 +159,5 @@ ORACLES = {
     "ann_cosine_topk": ANN_COSINE_SQL,
     "embedding_norms": EMBEDDING_NORMS_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
+    "ann_lsh_topk": _ann_lsh_sql(64, 12, 42),
 }

@@ -103,7 +103,10 @@ def flow2_driver_contract(spark) -> None:
     for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     qs, osql = entrymod.queries(), entrymod.oracle_sql()
-    for name in ("user_sessions", "doc_stats_by_lang", "latest_event_per_user"):
+    spot = os.environ.get(
+        "VERIFY_SPOT", "user_sessions,doc_stats_by_lang,latest_event_per_user"
+    ).split(",")
+    for name in spot:
         got = qs[name](spark, sf).toPandas()
         exp = con.execute(osql[name]).df()
         got = got[sorted(got.columns)].sort_values(by=sorted(got.columns)).reset_index(drop=True)
