@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .cdc.conflict import ConflictPolicy
+from .prepared import QuerySourceConfig, apply_query_source
 
 # Registry of named record transformers (the plugin point). Each entry is a
 # Callable[[DataFrame], DataFrame] built from vectorized primitives.
@@ -47,6 +48,38 @@ def register_transformer(name: str):
     return deco
 
 
+# Per-FIELD transformer plugin point (EtlFieldTransformer analog,
+# api:etl/processor/transformer/EtlFieldTransformer.java, wired per mapping
+# at api:controller/conf/tablemapping/FieldsMapping.java:159-161). The
+# reference calls transform() once per row per field; here an entry is either
+# - kind="column": Callable[[Column], Column] — a JVM-side expression
+#   rewrite (the fast path, whole-stage codegen), or
+# - kind="pandas": Callable[[pd.Series], pd.Series] + a return type — wrapped
+#   in a vectorized Arrow-batched pandas_udf. Never per-row Python.
+FIELD_TRANSFORMERS: dict[str, tuple[str, Callable, str]] = {}
+
+
+def register_field_transformer(name: str, kind: str = "column", return_type: str = "string"):
+    if kind not in ("column", "pandas"):
+        raise ValueError(f"unknown field-transformer kind: {kind}")
+
+    def deco(fn):
+        FIELD_TRANSFORMERS[name] = (kind, fn, return_type)
+        return fn
+
+    return deco
+
+
+def _apply_field_transformer(name: str, c):
+    kind, fn, return_type = FIELD_TRANSFORMERS[name]
+    if kind == "column":
+        return fn(c)
+    # wrap lazily: pandas_udf needs an active session (Arrow conf lookup)
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(return_type)(fn)(c)
+
+
 @dataclass
 class FieldMapping:
     dst: str
@@ -54,6 +87,7 @@ class FieldMapping:
     src_value: object | None = None  # constant (srcValue)
     map_to_null: bool = False        # mapToNullValue
     cast: str | None = None
+    transformer: str | None = None   # name in FIELD_TRANSFORMERS
 
     def expr(self):
         if self.map_to_null:
@@ -62,6 +96,8 @@ class FieldMapping:
             c = F.lit(self.src_value)
         else:
             c = F.col(self.src or self.dst)
+        if self.transformer:
+            c = _apply_field_transformer(self.transformer, c)
         if self.cast:
             c = c.cast(self.cast)
         return c.alias(self.dst)
@@ -76,6 +112,10 @@ class LookupConfig:
     select: list[str] = field(default_factory=list)
     defaults: dict = field(default_factory=dict)  # defaultValueDueInconsistency
     required: bool = False           # required=true ⇒ inner join (drop row)
+    # conditionalFields (api:etl/model/LoadRecord.java:313-330): resolve the
+    # parent only for rows whose fields equal these values; other rows pass
+    # through untouched (see operators.joins.lookup_join)
+    conditions: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -104,6 +144,7 @@ class EtlItemConfig:
     extra_condition: str | None = None      # extraConditionForExtract
     transformer: str | None = None          # name in TRANSFORMERS
     lookups: list[LookupConfig] = field(default_factory=list)
+    query_sources: list[QuerySourceConfig] = field(default_factory=list)
     dsts: list[DstConfig] = field(default_factory=list)
 
 
@@ -111,6 +152,9 @@ class EtlItemConfig:
 class EtlConfig:
     process_name: str
     items: list[EtlItemConfig]
+    # global configuration parameters — the first @param binding source
+    # (README.md:258-260; api:conf/PreparedQuery.java loadQueryParamValues)
+    params: dict = field(default_factory=dict)
 
     @staticmethod
     def _parse_policy(d: dict | None) -> ConflictPolicy | None:
@@ -125,6 +169,17 @@ class EtlConfig:
             winning_groups=tuple(d.get("winningFields", [])),
             observation_fields=tuple(d.get("observationDateFields", [])),
         )
+
+    @staticmethod
+    def _parse_conditions(raw) -> dict:
+        """conditionalFields arrives as ``[{"name": ..., "value": ...}]`` in
+        the reference's JSON (db_quick_merge_gaza.json:168-173) or as a plain
+        dict here."""
+        if not raw:
+            return {}
+        if isinstance(raw, dict):
+            return dict(raw)
+        return {c["name"]: c["value"] for c in raw}
 
     @staticmethod
     def from_json(path_or_str: str) -> "EtlConfig":
@@ -148,8 +203,18 @@ class EtlConfig:
                             select=lk.get("select", []),
                             defaults=lk.get("defaults", {}),
                             required=lk.get("required", False),
+                            conditions=EtlConfig._parse_conditions(lk.get("conditionalFields")),
                         )
                         for lk in it.get("lookups", [])
+                    ],
+                    query_sources=[
+                        QuerySourceConfig(
+                            name=q["name"],
+                            query=q["query"],
+                            resources=q.get("resources", {}),
+                            required=q.get("required", False),
+                        )
+                        for q in it.get("extraQueryDataSource", [])
                     ],
                     dsts=[
                         DstConfig(
@@ -163,6 +228,7 @@ class EtlConfig:
                                     src_value=m.get("srcValue"),
                                     map_to_null=m.get("mapToNullValue", False),
                                     cast=m.get("cast"),
+                                    transformer=m.get("transformer"),
                                 )
                                 for m in dc.get("mappings", [])
                             ],
@@ -172,23 +238,43 @@ class EtlConfig:
                     ],
                 )
             )
-        return EtlConfig(process_name=d["processName"], items=items)
+        return EtlConfig(process_name=d["processName"], items=items, params=d.get("params", {}))
 
 
-def build_item_frame(spark: SparkSession, item: EtlItemConfig) -> DataFrame:
-    """src scan → extra condition → lookups → transformer (pre-mapping)."""
+def build_item_frame(
+    spark: SparkSession, item: EtlItemConfig, params: dict | None = None
+) -> DataFrame:
+    """src scan → extra condition → lookups → query sources → transformer
+    (pre-mapping). ``params`` are the global config parameters — substituted
+    into extraConditionForExtract and query-source @params before planning."""
     from .operators.joins import lookup_join
+    from .prepared import _PARAM, sql_literal
+    import re as _re
 
     df = spark.read.parquet(item.src_path)
     if item.extra_condition:
-        df = df.filter(F.expr(item.extra_condition))
+        cond = item.extra_condition
+        if params:
+            cond = _re.sub(
+                _PARAM,
+                lambda m: sql_literal(params[m.group(1)]) if m.group(1) in params else m.group(0),
+                cond,
+            )
+        df = df.filter(F.expr(cond))
     for lk in item.lookups:
         dim = spark.read.parquet(lk.path)
         if lk.select:
             dim = dim.select(*lk.keys, *lk.select)
         df = lookup_join(
-            df, dim, lk.keys, default_values=lk.defaults, how="inner" if lk.required else "left"
+            df,
+            dim,
+            lk.keys,
+            default_values=lk.defaults,
+            how="inner" if lk.required else "left",
+            conditions=lk.conditions,
         )
+    for qs in item.query_sources:
+        df = apply_query_source(spark, df, qs, params)
     if item.transformer:
         df = TRANSFORMERS[item.transformer](df)
     return df
@@ -205,13 +291,14 @@ def run_etl_item(
     item: EtlItemConfig,
     epoch_id: int | None = None,
     fence_prefix: str | None = None,
+    params: dict | None = None,
 ) -> dict:
     """Execute one item: src → N destinations in order; abort chain on
     failure (EtlLoadHelper.java:144-160). Returns per-dst applied metrics."""
     from .cdc.merge import merge_into
     from .lake.table import LakeTable
 
-    src = build_item_frame(spark, item)
+    src = build_item_frame(spark, item, params)
     out: dict = {}
     for i, dst in enumerate(item.dsts):
         frame = project_for_dst(src, dst)

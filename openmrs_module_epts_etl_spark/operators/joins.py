@@ -65,17 +65,57 @@ def lookup_join(
     keys: list[str],
     default_values: dict | None = None,
     how: str = "left",
+    conditions: dict | None = None,
 ) -> DataFrame:
     """Parent/dimension lookup: the reference resolves each FK with a
     per-record SELECT (api:model/pojo/generic/DatabaseObjectDAO.java:247-290,
     orchestrated by api:etl/model/LoadRecord.java:230-304). Re-expressed as a
     broadcast join against the dimension; absent parents get the configured
     defaults (``defaultValueDueInconsistency``) instead of a per-row repair
-    loop."""
-    joined = facts.join(F.broadcast(dim), on=keys, how=how)
+    loop.
+
+    ``conditions`` is the reference's conditional-FK gate
+    (``conditionalFields``, api:etl/model/LoadRecord.java:313-330, shipped
+    config db_quick_merge_gaza.json): the parent is resolved only for rows
+    whose condition fields match; non-matching rows pass through untouched
+    (dim columns NULL, no defaults). Expressed by folding the condition into
+    the join predicate, so it stays ONE broadcast join:
+
+    - matching row, parent found   → dim columns attached
+    - matching row, parent missing → defaults (or dropped when required)
+    - non-matching row             → dim columns NULL, never dropped
+    """
+    if not conditions:
+        joined = facts.join(F.broadcast(dim), on=keys, how=how)
+        for col_name, default in (default_values or {}).items():
+            joined = joined.withColumn(col_name, F.coalesce(F.col(col_name), F.lit(default)))
+        return joined
+
+    cond = F.lit(True)
+    for k, v in conditions.items():
+        cond = cond & (F.col(f"__f.{k}") == F.lit(v))
+    f = facts.alias("__f")
+    # mark parent presence before the join: a dim row always has __hit=true
+    d = F.broadcast(dim.withColumn("__hit", F.lit(True))).alias("__d")
+    on = cond
+    for k in keys:
+        on = on & (F.col(f"__f.{k}") == F.col(f"__d.{k}"))
+    joined = f.join(d, on, "left")
+    # required ⇒ drop only rows that MATCH the condition but found no parent
+    if how == "inner":
+        joined = joined.filter(~cond | F.col("__hit").isNotNull())
+    out = joined.select(
+        "__f.*", *[f"__d.{c}" for c in dim.columns if c not in keys], "__d.__hit"
+    )
+    cond_out = F.lit(True)
+    for k, v in conditions.items():
+        cond_out = cond_out & (F.col(k) == F.lit(v))
     for col_name, default in (default_values or {}).items():
-        joined = joined.withColumn(col_name, F.coalesce(F.col(col_name), F.lit(default)))
-    return joined
+        out = out.withColumn(
+            col_name,
+            F.when(cond_out & F.col("__hit").isNull(), F.lit(default)).otherwise(F.col(col_name)),
+        )
+    return out.drop("__hit")
 
 
 def shared_pk_join(a: DataFrame, b: DataFrame, pk: list[str], how: str = "inner") -> DataFrame:
