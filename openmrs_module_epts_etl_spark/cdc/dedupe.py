@@ -38,21 +38,59 @@ from pyspark.sql import functions as F
 from .schemas import TRANSCRIPT_KEY
 
 
-def dedupe_latest(events: DataFrame, key: list[str] | None = None, order_col: str = "lsn") -> DataFrame:
+def dedupe_latest(
+    events: DataFrame,
+    key: list[str] | None = None,
+    order_col: str = "lsn",
+    tie_break: bool = False,
+) -> DataFrame:
     """One row per key: the event with the maximal ``order_col``.
 
     Narrow hash-aggregation (max over the order column alone — map-side
-    combined, skew-safe) + left-semi join-back on (key, order_col) to
-    re-attach the payload. The payload is never sorted, never shuffled with an
-    aggregation buffer, and the source is scanned twice — cheap for every
-    caller here (persisted feed slice, parquet files, or foreachBatch frame).
-    Output columns = input columns.
+    combined, skew-safe) + null-safe left-semi join-back on (key, order_col)
+    to re-attach the payload. The payload is never sorted, never shuffled
+    with an aggregation buffer, and the source is scanned twice — cheap for
+    every caller here (persisted feed slice, parquet files, or foreachBatch
+    frame). Output columns = input columns.
+
+    ``tie_break=True`` additionally resolves (key, order_col) TIES to one
+    deterministic winner: content-distinct tie rows are discriminated by a
+    min content hash (a pure row function — stable across branch
+    recomputation, unlike monotonically_increasing_id, whose per-partition
+    numbering shifts when a shuffled branch is recomputed and would make the
+    build and probe sides disagree), and byte-identical duplicates (the
+    realistic case: duplicate delivery) collapse under a final ``distinct``
+    — group-by-all-columns HashAggregate, still sort-free, over the already
+    winner-sized output. Measured ~2× the join work of the plain path. The
+    CDC merge path leaves it off because the feed contract guarantees lsn
+    uniqueness per key and merge_into *detects* violations in its hint
+    aggregation, re-running with tie_break=True only when one is present;
+    the generic ``latest_per_key`` operator keeps it on (no uniqueness
+    contract there).
     """
     key = key or TRANSCRIPT_KEY
     cols = events.columns
     winners = events.groupBy(*key).agg(F.max(order_col).alias(order_col))
-    out = events.join(winners.hint("shuffle_hash"), on=[*key, order_col], how="left_semi")
+    out = _join_back(events, winners, key, order_col)
+    if tie_break:
+        out = out.withColumn("__h", F.xxhash64(*[F.col(c) for c in cols]))
+        ties = out.groupBy(*key, order_col).agg(F.min("__h").alias("__h"))
+        out = _join_back(out, ties, [*key, order_col], "__h").select(*cols).distinct()
     return out.select(*cols)
+
+
+def _join_back(events: DataFrame, winners: DataFrame, key: list[str], order_col: str) -> DataFrame:
+    """Null-safe left-semi join-back: ``eqNullSafe`` on every join column —
+    groupBy keeps a NULL-key group (SQL semantics), so the join-back must
+    too; plain equality would silently drop it (latest_per_key exposes this
+    operator generically, where NULL keys/order values are legal). Null-safe
+    keys cost nothing: same ShuffledHashJoin, same exchanges (measured)."""
+    w = winners.hint("shuffle_hash")
+    cond = None
+    for c in [*key, order_col]:
+        e = events[c].eqNullSafe(w[c])
+        cond = e if cond is None else cond & e
+    return events.join(w, cond, "left_semi")
 
 
 def dedupe_latest_salted(
@@ -75,5 +113,4 @@ def dedupe_latest_salted(
     )
     stage1 = salted.groupBy(*key, "__salt").agg(F.max(order_col).alias(order_col))
     winners = stage1.groupBy(*key).agg(F.max(order_col).alias(order_col))
-    out = events.join(winners.hint("shuffle_hash"), on=[*key, order_col], how="left_semi")
-    return out.select(*cols)
+    return _join_back(events, winners, key, order_col).select(*cols)

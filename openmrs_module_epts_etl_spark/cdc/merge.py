@@ -128,21 +128,44 @@ def merge_into(
             ]
 
         # one aggregation job returns, at once: batch row count, the touched
-        # key-derived partition values (bucket-prune hints), and the partition
-        # tuples that inserts may land in — no separate distinct/collect jobs
-        hint_rows = (
-            batch.groupBy(
-                *part_exprs(), (F.col("op") != "D").alias("__ins")
-            )
-            .count()
-            .collect()
-            if spec
-            else None
-        )
-        if hint_rows is not None:
-            batch_rows = sum(r["count"] for r in hint_rows)
-        else:
-            batch_rows = batch.count()
+        # key-derived partition values (bucket-prune hints), the partition
+        # tuples that inserts may land in, AND a per-group distinct-key count
+        # — no separate distinct/collect jobs. count > distinct keys within a
+        # group means the post-dedupe batch still holds duplicate key rows:
+        # the lsn-uniqueness invariant was violated upstream (duplicate
+        # delivery past the fence). Detection here is ~free; only then do we
+        # pay for the strict tie-breaking dedupe, so a clean feed never does.
+        # (A same-lsn tie whose rows differ in op or event-time partition
+        # lands in different groups and escapes this check — that is a feed
+        # corrupt beyond duplicate delivery; null-key rows are quarantined
+        # before merge, so count_distinct's null-tuple skip can at worst
+        # trigger a spurious — harmless — strict re-dedupe.)
+        key_cols = [F.col(k) for k in key]
+
+        def compute_hints(b: DataFrame):
+            if spec:
+                rows = (
+                    b.groupBy(*part_exprs(), (F.col("op") != "D").alias("__ins"))
+                    .agg(
+                        F.count(F.lit(1)).alias("count"),
+                        F.count_distinct(*key_cols).alias("__nkeys"),
+                    )
+                    .collect()
+                )
+                return rows, sum(r["count"] for r in rows), any(
+                    r["count"] > r["__nkeys"] for r in rows
+                )
+            row = b.agg(
+                F.count(F.lit(1)).alias("count"),
+                F.count_distinct(*key_cols).alias("__nkeys"),
+            ).collect()[0]
+            return None, row["count"], row["count"] > row["__nkeys"]
+
+        hint_rows, batch_rows, tie_violation = compute_hints(batch)
+        if tie_violation:
+            batch.unpersist()
+            batch = dedupe_latest(events, key=key, tie_break=True).persist()
+            hint_rows, batch_rows, _ = compute_hints(batch)
         timings["hint"] = time.perf_counter() - t_start
         if batch_rows == 0:
             commit = table.commit([], epoch=epoch, metrics={"applied": {}, "by_partition": []})

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
 from dataclasses import dataclass, field
 from typing import Callable, Iterable
@@ -76,6 +77,14 @@ class DataFile:
 # must be expressed as a plain df.filter (no skipping, still correct)
 _SKIP_OPS = ("=", "<", "<=", ">", ">=")
 _STATS_MAX_COLS = 16
+
+# SparkSession conf is process-global; write_data_files temporarily overrides
+# two confs (parquet timestamp type, AQE advisory size) around its write.
+# Parallel items (process.py) share one session — without a guard, racing
+# set/restore pairs can leave a temp value permanently set or revert another
+# thread's in-flight write to INT96 (blinding its stats). The lock serializes
+# only the conf-sensitive write stage; reads/planning elsewhere is unaffected.
+_WRITE_CONF_LOCK = threading.Lock()
 
 
 def _norm_stat_value(v):
@@ -153,7 +162,15 @@ class Commit:
 
 
 class CommitConflict(RuntimeError):
-    """Another writer published this version first (single-writer protocol)."""
+    """Another writer published this version first; commit() rebases and
+    retries (OCC) — raised only when the conflict is not rebase-safe or
+    retries are exhausted."""
+
+
+class EpochAlreadyApplied(CommitConflict):
+    """During an OCC rebase the refreshed log showed this commit's own
+    (fence_key, epoch_id) already applied by a concurrent writer — the whole
+    epoch is a duplicate, not just the version number."""
 
 
 class LakeTable:
@@ -386,9 +403,10 @@ class LakeTable:
         # column min/max, which would blind the manifest's data-skipping
         # stats for ts columns (and INT96 is deprecated in parquet anyway)
         tstype = "spark.sql.parquet.outputTimestampType"
+        advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+        _WRITE_CONF_LOCK.acquire()
         prev_ts = self.spark.conf.get(tstype, None)
         self.spark.conf.set(tstype, "TIMESTAMP_MICROS")
-        advisory = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
         prev = self.spark.conf.get(advisory, None)
         # target write-task granularity. AQE compares *compressed* shuffle
         # bytes (lz4 ≈ 5-10× on text), so the advisory sits below the desired
@@ -404,14 +422,17 @@ class LakeTable:
         try:
             w.parquet(out_dir)
         finally:
-            if prev is None:
-                self.spark.conf.unset(advisory)
-            else:
-                self.spark.conf.set(advisory, prev)
-            if prev_ts is None:
-                self.spark.conf.unset(tstype)
-            else:
-                self.spark.conf.set(tstype, prev_ts)
+            try:
+                if prev is None:
+                    self.spark.conf.unset(advisory)
+                else:
+                    self.spark.conf.set(advisory, prev)
+                if prev_ts is None:
+                    self.spark.conf.unset(tstype)
+                else:
+                    self.spark.conf.set(tstype, prev_ts)
+            finally:
+                _WRITE_CONF_LOCK.release()
 
         return self._discover_files(rel_dir, spec), rel_dir
 
@@ -435,6 +456,22 @@ class LakeTable:
         if not todo:
             return []
 
+        # The _STATS_MAX_COLS budget is allocated by PRIORITY, not schema
+        # order: engine columns (_lsn drives vacuum_tombstones' manifest
+        # skipping, _deleted the tombstone scans) and partition-source
+        # columns (epoch slicing / pruning predicates) first, then the rest
+        # of the schema. Taking schema order would silently drop the engine
+        # columns on any payload wider than ~13 columns — degrading
+        # maintenance jobs to full scans.
+        schema_cols = [f.name for f in self.schema.fields]
+        part_sources = [p.source for p in spec]
+        ranked = (
+            [c for c in schema_cols if c.startswith("_")]
+            + [c for c in part_sources if c in schema_cols and not c.startswith("_")]
+        )
+        ranked += [c for c in schema_cols if c not in ranked]
+        allowed = set(ranked[:_STATS_MAX_COLS])
+
         def load(item) -> DataFile:
             full, rel, partition = item
             # footer-only read; parallel because this is pure I/O + C parsing.
@@ -448,9 +485,7 @@ class LakeTable:
                 for i in range(rg.num_columns):
                     c = rg.column(i)
                     name = c.path_in_schema
-                    if "." in name or name in dead or (
-                        name not in agg and len(agg) >= _STATS_MAX_COLS
-                    ):
+                    if "." in name or name in dead or name not in allowed:
                         continue
                     st = c.statistics
                     if st is None or not st.has_min_max or isinstance(st.min, bytes):
@@ -480,40 +515,88 @@ class LakeTable:
         new_schema: StructType | None = None,
         epoch: dict | None = None,
         metrics: dict | None = None,
+        max_retries: int = 10,
     ) -> Commit:
+        """Publish a new version. Multi-writer safe via optimistic
+        concurrency (the reference runs many engines against one destination,
+        api:controller/OperationController.java:371-376): on a version
+        collision the loop reloads the log, re-validates — our fence must not
+        have been applied meanwhile, and every file we remove must still be
+        live (a concurrent compaction/rewrite of the same files is NOT
+        rebase-safe) — re-merges additive schema evolution onto the winner's
+        schema, and re-publishes at the next version. Writers touching
+        disjoint files/partitions always converge; true write-write conflicts
+        surface as CommitConflict after the loop."""
         remove_paths = remove_paths or set()
-        kept = [f for f in self._commit.files if f.path not in remove_paths]
-        c = Commit(
-            version=self._commit.version + 1,
-            schema_json=(new_schema or self.schema).json(),
-            partition_spec=self._commit.partition_spec,
-            files=kept + add,
-            epoch=epoch,
-            metrics=metrics,
-            parent=self._commit.version,
-            properties=self._commit.properties,
-        )
-        self._write_commit(self.path, c)
-        self._commit = c
-        if epoch and epoch.get("fence_key") is not None and self._fences is not None:
-            self._fences.add((epoch["fence_key"], epoch.get("epoch_id")))
-        return c
+        base = self._commit
+        for attempt in range(max_retries + 1):
+            schema_json = (new_schema or StructType.fromJson(json.loads(base.schema_json))).json()
+            kept = [f for f in base.files if f.path not in remove_paths]
+            c = Commit(
+                version=base.version + 1,
+                schema_json=schema_json,
+                partition_spec=base.partition_spec,
+                files=kept + add,
+                epoch=epoch,
+                metrics=metrics,
+                parent=base.version,
+                properties=base.properties,
+            )
+            try:
+                self._write_commit(self.path, c)
+            except CommitConflict:
+                if attempt == max_retries:
+                    raise
+                fresh = LakeTable(self.spark, self.path)
+                if (
+                    epoch
+                    and epoch.get("fence_key") is not None
+                    and fresh.epoch_already_applied(epoch["fence_key"], epoch.get("epoch_id"))
+                ):
+                    raise EpochAlreadyApplied(
+                        f"epoch {epoch} committed concurrently at {self.path}"
+                    )
+                live = {f.path for f in fresh._commit.files}
+                gone = remove_paths - live
+                if gone:
+                    raise CommitConflict(
+                        f"concurrent rewrite of {len(gone)} file(s) this commit "
+                        f"also removes (e.g. {next(iter(gone))}) — not rebase-safe"
+                    )
+                if new_schema is not None:
+                    # re-merge our additions onto the winner's (possibly also
+                    # evolved) schema — additive unions always compose
+                    merged = fresh.evolved_schema(new_schema)
+                    new_schema = merged if merged is not None else StructType.fromJson(
+                        json.loads(fresh._commit.schema_json)
+                    )
+                base = fresh._commit
+                continue
+            self._commit = c
+            if epoch and epoch.get("fence_key") is not None and self._fences is not None:
+                self._fences.add((epoch["fence_key"], epoch.get("epoch_id")))
+            return c
 
     @staticmethod
     def _write_commit(path: str, c: Commit) -> None:
         final = os.path.join(path, _COMMITS, f"{c.version:020d}.json")
-        if os.path.exists(final):
-            raise CommitConflict(f"version {c.version} already committed at {path}")
         tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(c.to_json(), fh)
         try:
-            # atomic publish; os.rename fails-or-replaces atomically on POSIX —
-            # link+unlink would error on collision, rename suffices single-writer
-            os.rename(tmp, final)
-        except OSError:
-            os.unlink(tmp)
-            raise
+            # atomic CLAIM: link() fails with EEXIST if the version is taken —
+            # unlike rename(), which silently replaces and would let two
+            # writers at the same version lose one commit. This is the entire
+            # multi-writer mutual exclusion, so it must be a true
+            # compare-and-swap on the filesystem, not check-then-rename.
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(f"version {c.version} already committed at {path}")
+        finally:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
     # ----------------------------------------------------------- evolution
     def evolved_schema(self, incoming: StructType) -> StructType | None:

@@ -12,10 +12,13 @@ def latest_per_key(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """chooseMostRecent (api:common/model/EtlStageRecordVO.java:398-418) as a
     narrow map-side-combining max aggregation + semi join-back — see
     cdc/dedupe.py for why this beats both row_number over a key window
-    (single-reducer hot keys) and max_by(struct) (SortAggregate)."""
+    (single-reducer hot keys) and max_by(struct) (SortAggregate).
+    ``tie_break=True``: unlike the CDC feed, a generic input has no
+    order-uniqueness contract, so ties resolve to one deterministic winner
+    instead of surviving as duplicate rows."""
     from ..cdc.dedupe import dedupe_latest
 
-    return dedupe_latest(df, key=keys, order_col=order_col)
+    return dedupe_latest(df, key=keys, order_col=order_col, tie_break=True)
 
 
 def gap_buckets(df: DataFrame, id_col: str, bucket_size: int = 1000) -> DataFrame:

@@ -33,7 +33,7 @@ import json
 import os
 import time
 import uuid
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ThreadPoolExecutor, as_completed
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -127,16 +127,38 @@ class ProcessRunner:
                     self.spark, item, epoch_id=run_id, fence_prefix=fence
                 )
 
-            if op.processing_mode == "parallel" and len(op.items) > 1:
-                with ThreadPoolExecutor(max_workers=op.max_item_threads) as ex:
-                    results = list(ex.map(run_item, op.items))
-            else:
-                results = []
-                for item in op.items:
-                    results.append(run_item(item))
-                    self._save_status(
-                        op, {**status, "items": {k: _summ(v) for k, v in results}}
-                    )
+            results: list[tuple[str, dict]] = []
+            try:
+                if op.processing_mode == "parallel" and len(op.items) > 1:
+                    with ThreadPoolExecutor(max_workers=op.max_item_threads) as ex:
+                        futures = [ex.submit(run_item, item) for item in op.items]
+                        for fut in as_completed(futures):
+                            results.append(fut.result())
+                            # per-item progress in parallel mode too, so a
+                            # monitoring consumer sees completions as they land
+                            self._save_status(
+                                op, {**status, "items": {k: _summ(v) for k, v in results}}
+                            )
+                else:
+                    for item in op.items:
+                        results.append(run_item(item))
+                        self._save_status(
+                            op, {**status, "items": {k: _summ(v) for k, v in results}}
+                        )
+            except Exception as e:
+                # never leave the status file claiming RUNNING after a crash —
+                # a monitor must be able to tell a dead run from a live one
+                self._save_status(
+                    op,
+                    {
+                        "state": "FAILED",
+                        "run_id": run_id,
+                        "finished": time.time(),
+                        "error": repr(e),
+                        "items": {k: _summ(v) for k, v in results},
+                    },
+                )
+                raise
             stopped = [k for k, v in results if v.get("stopped")]
             status = {
                 "state": "STOPPED" if stopped else "FINISHED",

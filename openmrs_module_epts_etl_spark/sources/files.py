@@ -39,12 +39,19 @@ def json_export(df: DataFrame, out_dir: str, batch_tag: str) -> dict:
     if os.path.exists(final):
         raise FileExistsError(f"batch {batch_tag} already exported")
     tmp = final + f".tmp-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").json(tmp)
+    # row count via an Observation riding the write job itself — counted by
+    # the executors as rows stream to the sink. The export is never re-read
+    # and the driver never touches data (an exported 100 TB batch must not
+    # take a driver-side pass just to fill the manifest).
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode("overwrite").json(tmp)
     files = sorted(
         f for f in os.listdir(tmp) if f.startswith("part-") and not f.endswith(".crc")
     )
     # abort-on-empty, like the reference's empty-file check before rename
-    rows = sum(1 for f in files for _ in open(os.path.join(tmp, f), "rb"))
+    rows = obs.get["rows"]
     manifest = {"batch": batch_tag, "files": files, "rows": rows}
     with open(os.path.join(tmp, "_minimal.json"), "w") as fh:
         json.dump(manifest, fh)
