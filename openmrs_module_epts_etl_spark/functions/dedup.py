@@ -182,6 +182,45 @@ def ngram_jaccard_pairs(
     return out
 
 
+def near_dup_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """The composed scale path a user actually wants: MinHash-LSH candidate
+    generation → EXACT n-gram-Jaccard verification, one call. The exact
+    shingle join runs only over LSH candidate pairs (never corpus², unlike
+    standalone ngram_jaccard_pairs, which is the small-SF oracle twin), so
+    cost is bounded by candidate volume. LSH false positives with zero
+    shared shingles drop out of the inner join — correct for any
+    min_jaccard > 0. Returns (id_a, id_b, jaccard)."""
+    sh = word_shingles(df, id_col, text_col, n).persist()
+    sigs = minhash_signatures(sh, num_hashes)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("id").alias("id_a"), "shingle")
+    sb = sh.select(F.col("id").alias("id_b"), "shingle")
+    shared = (
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard", F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")))
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
 def simhash(shingles: DataFrame, seed: int = 42) -> DataFrame:
     """(id, simhash): 60-bit SimHash from shingle hashes — bit i of the result
     is 1 iff the sum over shingles of ±1 (by bit i of hash60(shingle)) > 0.

@@ -93,6 +93,80 @@ def hyperplane_signature_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return sig
 
 
+def band_signature_udf(dim: int, bands: int, planes_per_band: int, seed: int = 42):
+    """Banded hyperplane signatures: ONE numpy matmul against all
+    bands×planes hyperplanes per Arrow batch, then the sign bits are packed
+    into one integer per band. Returns array<long> of length ``bands``."""
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())                      # (batch, dim)
+        bits = (m @ planes.T) > 0                          # (batch, bands*P)
+        buckets = bits.reshape(len(m), bands, planes_per_band) @ weights
+        return pd.Series(list(buckets.astype(np.int64)))
+
+    return sig
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bands: int = 8,
+    planes_per_band: int = 6,
+    seed: int = 42,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Scale-path embedding near-dup detection: banded hyperplane LSH.
+
+    Vectors sharing ANY band bucket become a candidate pair (pigeonhole over
+    sign-bit bands — the cosine analog of MinHash banding); candidates are
+    verified with the exact cosine. The self-join key is (band, bucket), so
+    pair generation is |bucket|²-bounded per bucket, never corpus² and never
+    blocked on a skewed metadata column — this replaces label-blocking,
+    whose biggest block is quadratic at scale. Recall at similarity s is
+    1-(1-((1-acos(s)/π))^P)^B — ≈0.998 for s=0.95 with 8×6 — and is
+    asserted against the exact baseline in tests/test_functions.py."""
+    sig = band_signature_udf(dim, bands, planes_per_band, seed)
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        sig(F.col(vec_col)).alias("sig"),
+    )
+    # norms are per-row data: once per vector, not per candidate pair
+    e = e.withColumn("nv", norm(F.col("v"))).persist()
+    # the banded self-join carries ONLY (id, band, bucket) — 24-byte rows;
+    # vectors re-attach to the (far smaller) distinct candidate set after.
+    # distinct on the full (id_a, id_b) projection is a HashAggregate with
+    # no agg buffer (a dropDuplicates keeping the vectors would compile to
+    # first(array)→SortAggregate and sort the payload, the exact plan
+    # disease dedupe_latest documents).
+    stacked = e.select("id", F.posexplode("sig").alias("band", "bucket"))
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    vb = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    pairs = cand.join(va, "id_a").join(vb, "id_b")
+    sim = F.try_divide(dot(F.col("va"), F.col("vb")), F.col("na") * F.col("nb"))
+    if round_to is not None:
+        sim = F.round(sim, round_to)
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

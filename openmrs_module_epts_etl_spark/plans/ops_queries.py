@@ -34,16 +34,27 @@ def pk_gap_detect(spark: SparkSession, sf: str) -> DataFrame:
 
     The reference walks the sorted PK stream sequentially with a prev-record
     diff (DetectGapesProcessor.java:41-67) — a single-threaded scan. Here the
-    same result comes from two windows that never form one global partition:
-    ``lag`` within PK *blocks* (parallel across blocks), then ``lag`` over the
-    tiny per-block min/max aggregate to catch gaps that straddle a block
-    boundary (or span whole missing blocks). Scales to any key range: no
-    single-reducer global sort exists in the plan.
+    same result comes from a three-level block recursion in which no window
+    ever forms one global partition:
+
+    1. ``lag`` within PK *blocks* of GAP_BLOCK keys (parallel across blocks);
+    2. ``lag`` over per-block min/max, partitioned by *superblock*
+       (GAP_BLOCK² keys) — catches gaps straddling block boundaries,
+       parallel across superblocks;
+    3. ``lag`` over per-superblock min/max, globally ordered — the only
+       single-partition stage, holding key_range/GAP_BLOCK² rows (a 10^12
+       key space → ~10^6 rows ≈ 16 MB: reducer-safe; each extra level
+       divides by another 1024 if ever needed).
     """
+    superblock = GAP_BLOCK * GAP_BLOCK
     o = (
         t(spark, sf, "orders")
         .filter(F.col("o_orderkey") % 97 != 0)
-        .select("o_orderkey", (F.col("o_orderkey") - F.col("o_orderkey") % GAP_BLOCK).alias("blk"))
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") - F.col("o_orderkey") % GAP_BLOCK).alias("blk"),
+            (F.col("o_orderkey") - F.col("o_orderkey") % superblock).alias("sblk"),
+        )
     )
     w_in = Window.partitionBy("blk").orderBy("o_orderkey")
     prev = F.lag("o_orderkey").over(w_in)
@@ -52,17 +63,27 @@ def pk_gap_detect(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("prev").isNotNull() & (F.col("o_orderkey") - F.col("prev") > 1))
         .select((F.col("prev") + 1).alias("gap_start"), (F.col("o_orderkey") - 1).alias("gap_end"))
     )
-    blocks = o.groupBy("blk").agg(
+    blocks = o.groupBy("sblk", "blk").agg(
         F.min("o_orderkey").alias("blk_min"), F.max("o_orderkey").alias("blk_max")
     )
-    w_blk = Window.orderBy("blk")  # rows = key_range/GAP_BLOCK — driver-scale
+    w_blk = Window.partitionBy("sblk").orderBy("blk")  # parallel across superblocks
     prev_max = F.lag("blk_max").over(w_blk)
-    across = (
+    across_blocks = (
         blocks.withColumn("prev_max", prev_max)
         .filter(F.col("prev_max").isNotNull() & (F.col("blk_min") - F.col("prev_max") > 1))
         .select((F.col("prev_max") + 1).alias("gap_start"), (F.col("blk_min") - 1).alias("gap_end"))
     )
-    return within.unionByName(across)
+    supers = blocks.groupBy("sblk").agg(
+        F.min("blk_min").alias("s_min"), F.max("blk_max").alias("s_max")
+    )
+    w_sup = Window.orderBy("sblk")  # rows = key_range/GAP_BLOCK² — reducer-safe
+    prev_smax = F.lag("s_max").over(w_sup)
+    across_supers = (
+        supers.withColumn("prev_max", prev_smax)
+        .filter(F.col("prev_max").isNotNull() & (F.col("s_min") - F.col("prev_max") > 1))
+        .select((F.col("prev_max") + 1).alias("gap_start"), (F.col("s_min") - 1).alias("gap_end"))
+    )
+    return within.unionByName(across_blocks).unionByName(across_supers)
 
 
 PK_GAP_SQL = """
@@ -201,12 +222,79 @@ FROM documents
 
 # --------------------------------------------- embedding near-dup detection
 NEAR_DUP_THRESHOLD = 0.30
+_ND_BANDS, _ND_PLANES = 8, 6
 
 
 def embedding_near_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the SCALE path: banded
+    hyperplane-LSH candidate generation (functions.vector.lsh_near_dup_pairs)
+    with exact cosine verification. Candidates form per (band, bucket), so
+    pair generation is |bucket|²-bounded — label-blocking (kept as
+    ``embedding_near_dup_exact``, the recall baseline) is quadratic in the
+    largest label at 100 TB. Oracle-checkable the same way as ann_lsh_topk:
+    the hyperplane constants are embedded verbatim in the generated DuckDB
+    twin, so both engines compute identical buckets."""
+    from ..functions.vector import lsh_near_dup_pairs
+
+    emb = t(spark, sf, "embeddings")
+    return lsh_near_dup_pairs(
+        emb, dim=64, threshold=NEAR_DUP_THRESHOLD,
+        bands=_ND_BANDS, planes_per_band=_ND_PLANES,
+    )
+
+
+def _near_dup_lsh_sql(
+    dim: int = 64,
+    bands: int = _ND_BANDS,
+    planes_per_band: int = _ND_PLANES,
+    seed: int = 42,
+    threshold: float = NEAR_DUP_THRESHOLD,
+) -> str:
+    from ..functions.vector import _hyperplanes
+
+    planes = _hyperplanes(dim, bands * planes_per_band, seed)
+
+    def bucket_expr(b: int) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product(ev, ["
+            + ", ".join(repr(float(x)) for x in planes[b * planes_per_band + p])
+            + f"]) > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes_per_band)
+        )
+
+    stacked = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, ({bucket_expr(b)})::BIGINT AS bucket FROM e"
+        for b in range(bands)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, list_transform(embedding, v -> v::DOUBLE) AS ev
+  FROM embeddings),
+stacked AS (
+  {stacked}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM stacked a JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.vec_id < b.vec_id),
+scored AS (
+  SELECT id_a, id_b,
+         ROUND(
+           list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                                   x -> (x[1]::DOUBLE) * (x[2]::DOUBLE)))
+           / (sqrt(list_sum(list_transform(ea.embedding, v -> (v::DOUBLE) * (v::DOUBLE))))
+              * sqrt(list_sum(list_transform(eb.embedding, v -> (v::DOUBLE) * (v::DOUBLE))))),
+           4) AS cosine_sim
+  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
+"""
+
+
+def embedding_near_dup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by label: candidate
     pairs only form inside a label block (the blocking key stands in for an
-    LSH bucket — the self-join is per-block, never corpus²). Dot products via
+    LSH bucket — the self-join is per-block, never corpus²). Exact within
+    blocks — the small-SF recall baseline for the LSH scale path above; at
+    scale the largest label makes this quadratic. Dot products via
     ``zip_with``+``aggregate`` in double precision; rounded for cross-engine
     float parity."""
     nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v * v))  # noqa: E731
@@ -259,6 +347,7 @@ QUERIES = {
     "token_stats": token_stats,
     "doc_fingerprints": doc_fingerprints,
     "embedding_near_dup_pairs": embedding_near_dup_pairs,
+    "embedding_near_dup_exact": embedding_near_dup_exact,
 }
 
 ORACLES = {
@@ -267,5 +356,6 @@ ORACLES = {
     "customer_activity_setops": SETOPS_SQL,
     "token_stats": TOKEN_STATS_SQL,
     "doc_fingerprints": DOC_FINGERPRINTS_SQL,
-    "embedding_near_dup_pairs": NEAR_DUP_SQL,
+    "embedding_near_dup_pairs": _near_dup_lsh_sql(),
+    "embedding_near_dup_exact": NEAR_DUP_SQL,
 }

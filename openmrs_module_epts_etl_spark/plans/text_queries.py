@@ -17,6 +17,7 @@ from ..functions.dedup import (
     lsh_candidate_pairs,
     minhash_coefficients,
     minhash_signatures,
+    near_dup_jaccard,
     ngram_jaccard_pairs,
     simhash,
     simhash_near_pairs,
@@ -286,6 +287,63 @@ def _lsh_candidates_sql(
     WHERE a.doc_id < b.doc_id"""
 
 
+def near_dup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return near_dup_jaccard(
+        docs, "doc_id", "text", n=3, min_jaccard=0.5,
+        num_hashes=16, bands=4, rows_per_band=4,
+    )
+
+
+def _near_dup_jaccard_sql(
+    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4,
+    n: int = 3, min_j: float = 0.5,
+) -> str:
+    """LSH-candidates CTE (identical to _lsh_candidates_sql) + exact Jaccard
+    verification restricted to those candidates."""
+    mins = ",\n        ".join(
+        f"MIN(({a} * code + {b}) % {MERSENNE_P}) AS h{i}"
+        for a, b, i in minhash_coefficients(num_hashes)
+    )
+
+    def bucket_expr(b: int) -> str:
+        acc = "0"
+        for v in [str(b)] + [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]:
+            acc = f"(({acc}) * {_POLY_M} + {v}) % {MERSENNE_P}"
+        return acc
+
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_shingle_cte_sql(n)},
+    coded AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE_P} AS code
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+        {mins}
+      FROM coded GROUP BY doc_id),
+    stacked AS (
+      {stacked}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM stacked a JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS shared
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+    FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE shared / (sa.sz + sb.sz - shared) >= {min_j}"""
+
+
 def simhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents")
     sh = word_shingles(docs, "doc_id", "text", n=3)
@@ -312,6 +370,7 @@ QUERIES = {
     "exact_dup_groups": exact_dup_groups,
     "minhash_signatures_16": minhash_signatures_q,
     "ngram_jaccard_pairs": ngram_jaccard_q,
+    "near_dup_jaccard_pairs": near_dup_jaccard_q,
     "simhash_signatures": simhash_signatures_q,
     "simhash_near_dups": simhash_near_dups_q,
     "minhash_lsh_candidates": minhash_lsh_candidates_q,
@@ -324,6 +383,7 @@ ORACLES = {
     "exact_dup_groups": EXACT_DUP_SQL,
     "minhash_signatures_16": _minhash_sql(16, 3),
     "ngram_jaccard_pairs": _ngram_jaccard_sql(3, 0.5),
+    "near_dup_jaccard_pairs": _near_dup_jaccard_sql(16, 4, 4, 3, 0.5),
     "simhash_signatures": _simhash_sql(3, 42),
     "simhash_near_dups": _simhash_near_dups_sql(3, 42, 3),
     "minhash_lsh_candidates": _lsh_candidates_sql(16, 4, 4, 3),

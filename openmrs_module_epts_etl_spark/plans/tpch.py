@@ -400,8 +400,29 @@ GROUP BY p_brand, p_type
 """
 
 
+def customer_shared_pk_join(spark, sf: str):
+    """shared_pk_join exercised end-to-end (patient⋈person analog,
+    api:conf/interfaces/TableConfiguration.java:1324-1347): two vertical
+    slices of customer sharing c_custkey rejoined into the full row — a
+    plain equi-join Catalyst plans as it likes (broadcast/SMJ/AQE)."""
+    from ..operators.joins import shared_pk_join
+    from .base import t as _t
+
+    cust = _t(spark, sf, "customer")
+    a = cust.select("c_custkey", "c_name", "c_nationkey")
+    b = cust.select("c_custkey", "c_acctbal", "c_mktsegment")
+    return shared_pk_join(a, b, ["c_custkey"])
+
+
+CUSTOMER_SHARED_PK_SQL = """
+SELECT a.c_custkey, a.c_name, a.c_nationkey, b.c_acctbal, b.c_mktsegment
+FROM customer a JOIN customer b ON a.c_custkey = b.c_custkey
+"""
+
+
 QUERIES = {
     "urgent_or_building_orders": urgent_or_building_orders,
+    "customer_shared_pk_join": customer_shared_pk_join,
     "q14_promo_revenue": q14_promo_revenue,
     "part_brand_revenue": part_brand_revenue,
     "orders_with_nation_defaults": orders_with_nation_defaults,
@@ -421,6 +442,7 @@ QUERIES = {
 
 ORACLES = {
     "urgent_or_building_orders": URGENT_OR_BUILDING_SQL,
+    "customer_shared_pk_join": CUSTOMER_SHARED_PK_SQL,
     "q14_promo_revenue": Q14_SQL,
     "part_brand_revenue": PART_BRAND_REVENUE_SQL,
     "orders_with_nation_defaults": ORDERS_NATION_DEFAULTS_SQL,

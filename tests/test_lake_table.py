@@ -104,22 +104,21 @@ def test_epoch_fencing(spark, tmp_path):
     assert not t.epoch_already_applied("run2", 7)
 
 
-def test_commit_conflict_single_writer_protocol(spark, tmp_path):
+def test_commit_conflict_occ_rebase(spark, tmp_path):
     """Two handles racing to publish the same next version: the loser's
-    os.rename-based publish must raise CommitConflict and leave the winner's
-    commit untouched (single-writer protocol, lake/table.py)."""
-    from openmrs_module_epts_etl_spark.lake.table import CommitConflict
-
+    commit must REBASE onto the winner (OCC, round 2 — the single-writer
+    raise was replaced) and both writers' rows must land; the raw version
+    claim itself stays mutually exclusive (link-based CAS,
+    test_occ.py covers the conflict taxonomy)."""
     path = str(tmp_path / "t")
     LakeTable.create(spark, path, SCHEMA, [])
     a = LakeTable(spark, path)
     b = LakeTable(spark, path)  # stale handle at the same base version
     a.append(_df(spark, _rows(spark, 3)))
-    with pytest.raises(CommitConflict):
-        b.append(_df(spark, _rows(spark, 2)))
-    # winner's state intact; refreshing the loser sees the winner's commit
-    assert a.read().count() == 3
-    assert b.refresh().read().count() == 3
+    c = b.append(_df(spark, _rows(spark, 2)))
+    assert c.version == 2 and c.parent == 1  # rebased, not clobbered
+    assert a.refresh().read().count() == 5
+    assert b.read().count() == 5
 
 
 def test_read_incremental_appends(spark, tmp_path):

@@ -154,3 +154,23 @@ def test_remove_orphan_files(spark, tmp_path):
     assert removed >= len(orphan_files)
     t2 = LakeTable(spark, t.path)
     assert t2.read().count() == n_before  # committed data intact
+
+
+def test_transport_batches(spark, tmp_path):
+    from openmrs_module_epts_etl_spark.sources.files import transport_batches
+
+    df = spark.range(5).select(F.col("id"))
+    export = str(tmp_path / "export")
+    imp = str(tmp_path / "import")
+    bkp = str(tmp_path / "bkp")
+    m = json_export(df, export, "b1")
+    assert m["rows"] == 5  # Observation-counted on the write job itself
+    moved = transport_batches(export, imp, bkp)
+    assert len(moved) == 1 and moved[0]["rows"] == 5
+    assert os.path.isdir(os.path.join(imp, "b1"))
+    assert not os.path.exists(os.path.join(export, "b1"))
+    assert os.path.exists(os.path.join(bkp, "b1._minimal.json"))
+    # a re-exported batch with the same tag must not clobber the import area
+    json_export(df, export, "b1")
+    with pytest.raises(FileExistsError):
+        transport_batches(export, imp)
