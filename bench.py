@@ -424,7 +424,15 @@ def main() -> None:
         prev_mem = os.environ.get("SPARK_DRIVER_MEMORY")
         os.environ["SPARK_DRIVER_MEMORY"] = os.environ.get("SPARK_GRAFT_SOAK_MEMORY", "32g")
         try:
-            soak = run_level(cpus, soak_events, 6, mode="mor")
+            # median of N reps, same honesty rule as the scaling pairs — a
+            # single soak sample on this shared host swung 3× between rounds
+            soak_reps = int(os.environ.get("SPARK_GRAFT_SOAK_REPS", "3"))
+            soaks = sorted(
+                (run_level(cpus, soak_events, 6, mode="mor") for _ in range(soak_reps)),
+                key=lambda s: s["events_per_sec"],
+            )
+            soak = soaks[len(soaks) // 2]
+            soak["all_reps_events_per_sec"] = [s["events_per_sec"] for s in soaks]
         finally:
             if prev_mem is None:
                 del os.environ["SPARK_DRIVER_MEMORY"]

@@ -62,13 +62,22 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
     expired_v = versions[: -keep_last]
 
     live_paths: set[str] = set()
+    live_manifests: set[str] = set()
     for v in kept_v:
-        live_paths |= {f.path for f in table._load_commit(v).files}
+        kc = table._load_commit(v)
+        live_paths |= {f.path for f in kc.files}
+        live_manifests |= {r.path for r in kc.manifests or []}
 
     fences = load_expired_fences(table)
     deleted = 0
-    for v in expired_v:
-        c = table._load_commit(v)
+    dead_manifests: set[str] = set()
+    expired = [table._load_commit(v) for v in expired_v]
+    # materialize every expired commit's file list BEFORE deleting any
+    # manifest page — expired snapshots share pages, and deleting one while a
+    # later expired commit still resolves through it would break the loop
+    for c in expired:
+        c.files
+    for c in expired:
         if c.epoch and c.epoch.get("fence_key") is not None:
             fences.add((c.epoch["fence_key"], c.epoch.get("epoch_id")))
         for f in c.files:
@@ -78,6 +87,12 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
             if os.path.exists(full):
                 os.unlink(full)
                 deleted += 1
+        # manifest pages only expired snapshots reference go with them
+        dead_manifests |= {r.path for r in c.manifests or []} - live_manifests
+    for rel in dead_manifests:
+        full = os.path.join(table.path, rel)
+        if os.path.exists(full):
+            os.unlink(full)
 
     # publish the fence sidecar BEFORE removing the commits it covers: a
     # crash in between leaves both sources present (fences double-counted,
@@ -104,23 +119,31 @@ def remove_orphan_files(table: LakeTable, grace_seconds: float = 3600.0) -> int:
     yet). Returns the number of files removed."""
     referenced: set[str] = set()
     for v in table._versions():
-        referenced |= {f.path for f in table._load_commit(v).files}
-    root = os.path.join(table.path, _DATA)
+        c = table._load_commit(v)
+        referenced |= {f.path for f in c.files}
+        referenced |= {r.path for r in c.manifests or []}
     cutoff = time.time() - grace_seconds
     removed = 0
-    for dirpath, _dirs, names in os.walk(root):
-        for n in names:
-            full = os.path.join(dirpath, n)
-            rel = os.path.relpath(full, table.path)
-            if rel in referenced:
-                continue
-            try:
-                if os.path.getmtime(full) <= cutoff:
-                    os.unlink(full)
-                    removed += 1
-            except FileNotFoundError:
-                pass
-    _prune_empty_dirs(root)
+    # orphan data files (crash between write_data_files and commit) AND
+    # orphan manifest pages (an OCC-losing commit attempt's pages)
+    from .table import _MANIFEST_DIR
+
+    for root in (os.path.join(table.path, _DATA), os.path.join(table.path, _MANIFEST_DIR)):
+        if not os.path.isdir(root):
+            continue
+        for dirpath, _dirs, names in os.walk(root):
+            for n in names:
+                full = os.path.join(dirpath, n)
+                rel = os.path.relpath(full, table.path)
+                if rel in referenced:
+                    continue
+                try:
+                    if os.path.getmtime(full) <= cutoff:
+                        os.unlink(full)
+                        removed += 1
+                except FileNotFoundError:
+                    pass
+    _prune_empty_dirs(os.path.join(table.path, _DATA))
     return removed
 
 

@@ -23,11 +23,18 @@ Iceberg-shaped table format, built from scratch:
   (api:engine/record_intervals_manager/ThreadRecordIntervalsManager.java:227-254)
   and gives exactly-once sink semantics under foreachBatch replay.
 
-Scale notes: the manifest is driver-side JSON — fine for the file counts a
-partitioned table produces when merges rewrite at partition granularity (a
-real deployment would page manifests like Iceberg's avro manifest lists; the
-read/prune/commit *protocol* here is the same). Data reads/writes are fully
-distributed Spark parquet jobs; the driver only touches metadata.
+Scale notes: the file manifest is PAGED like Iceberg's manifest lists — a
+commit JSON carries references to immutable manifest files
+(``_commits/manifests/m-*.json``, ≤ ``_MANIFEST_MAX_FILES`` entries each)
+instead of an inline file list. Committing reuses every page untouched by
+the commit verbatim, so metadata write amplification is O(files changed +
+dirty pages), not O(table) — at 800 k files (≈100 TB of 128 MB files) an
+epoch append writes one new page and one small commit JSON, never a
+160 MB manifest rewrite. Each page reference carries a per-column min/max
+summary unioned over its files, so predicate reads skip whole *pages*
+before parsing them (two-level pruning: page summary → per-file stats).
+Data reads/writes are fully distributed Spark parquet jobs; the driver only
+touches metadata.
 """
 
 from __future__ import annotations
@@ -36,7 +43,7 @@ import json
 import os
 import threading
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +54,20 @@ from .partitioning import PartitionField, from_json as spec_from_json
 
 _COMMITS = "_commits"
 _DATA = "data"
+_MANIFEST_DIR = os.path.join(_COMMITS, "manifests")
+# page size: 5k files/page keeps a page ≈1 MB of JSON; a 100 TB table is
+# ~160 pages, and a typical epoch commit touches 1-2 of them
+_MANIFEST_MAX_FILES = 5000
+# small-page compaction: when a commit would carry ≥ this many pages smaller
+# than _MANIFEST_SMALL_FILES, they are merged (Iceberg's manifest rewrite) so
+# a long run of tiny epoch appends can't grow the page list unboundedly
+_MANIFEST_SMALL_FILES = 256
+_MANIFEST_COMPACT_MIN_PAGES = 8
+
+# Immutable once published, so a process-wide cache is sound; bounded crudely
+# (cleared when oversized) because entries are only ~1 MB each at the cap.
+_MANIFEST_CACHE: dict[str, list["DataFile"]] = {}
+_MANIFEST_CACHE_MAX = 1024
 
 
 @dataclass
@@ -98,14 +119,15 @@ def _norm_stat_value(v):
     return v
 
 
-def file_may_match(f: DataFile, where: list[tuple[str, str, object]]) -> bool:
-    """Can any row of ``f`` satisfy ALL predicates? Conservative: unknown
-    stats (missing column entry, pre-stats manifest, incomparable types)
-    never skip. Each predicate is checked independently, which is sound for a
-    conjunction: a file is skipped only when some single predicate is
-    unsatisfiable by every row."""
+def _stats_may_match(stats: dict | None, where: list[tuple[str, str, object]]) -> bool:
+    """Can anything covered by ``stats`` satisfy ALL predicates? Conservative:
+    unknown stats (missing column entry, pre-stats manifest, incomparable
+    types) never skip. Each predicate is checked independently, which is
+    sound for a conjunction: skipped only when some single predicate is
+    unsatisfiable by every covered row. Shared by per-file skipping and
+    manifest-page skipping (a page summary is the union of its files)."""
     for col, op, val in where:
-        st = (f.stats or {}).get(col)
+        st = (stats or {}).get(col)
         if not st or val is None:
             continue
         mn, mx = st
@@ -124,40 +146,178 @@ def file_may_match(f: DataFile, where: list[tuple[str, str, object]]) -> bool:
     return True
 
 
+def file_may_match(f: DataFile, where: list[tuple[str, str, object]]) -> bool:
+    return _stats_may_match(f.stats, where)
+
+
 @dataclass
-class Commit:
-    version: int
-    schema_json: str
-    partition_spec: list[dict]
-    files: list[DataFile]
-    epoch: dict | None = None            # {"fence_key": str, "epoch_id": int}
-    metrics: dict | None = None          # lineage/applied counts for this commit
-    parent: int | None = None
-    properties: dict = field(default_factory=dict)
+class ManifestRef:
+    """Commit-side reference to one immutable manifest page."""
+
+    path: str                      # relative to table root
+    n_files: int
+    rows: int
+    # per-column [min, max] unioned over the page's files; a column appears
+    # only when EVERY file in the page has usable stats for it (otherwise the
+    # page's range is unknown and must never cause a skip)
+    stats: dict[str, list] | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {"path": self.path, "n_files": self.n_files, "rows": self.rows}
+        if self.stats:
+            d["stats"] = self.stats
+        return d
+
+    @staticmethod
+    def from_json(d: dict) -> "ManifestRef":
+        return ManifestRef(d["path"], d["n_files"], d["rows"], d.get("stats"))
+
+
+def _page_summary(files: list[DataFile]) -> dict[str, list] | None:
+    agg: dict[str, list] | None = None
+    for f in files:
+        if not f.stats:
+            return None
+        if agg is None:
+            agg = {c: list(v) for c, v in f.stats.items()}
+            continue
+        for c in list(agg):
+            st = f.stats.get(c)
+            if st is None:
+                del agg[c]
+                continue
+            try:
+                agg[c][0] = min(agg[c][0], st[0])
+                agg[c][1] = max(agg[c][1], st[1])
+            except TypeError:
+                del agg[c]
+    return agg or None
+
+
+def _load_manifest(table_path: str, rel: str) -> list[DataFile]:
+    full = os.path.join(table_path, rel)
+    got = _MANIFEST_CACHE.get(full)
+    if got is None:
+        with open(full) as fh:
+            got = [DataFile.from_json(d) for d in json.load(fh)]
+        if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+            _MANIFEST_CACHE.clear()
+        _MANIFEST_CACHE[full] = got
+    return got
+
+
+def _write_manifests(table_path: str, files: list[DataFile]) -> list[ManifestRef]:
+    """Write ``files`` as one or more immutable manifest pages (chunked at
+    _MANIFEST_MAX_FILES) and return their refs. Pages are published with the
+    same tmp→rename trick as commits; uuid names cannot collide, so a page is
+    durable the moment it is renamed (an OCC-losing commit's pages become
+    orphans, swept by maintenance.remove_orphan_files)."""
+    if not files:
+        return []
+    os.makedirs(os.path.join(table_path, _MANIFEST_DIR), exist_ok=True)
+    refs = []
+    for i in range(0, len(files), _MANIFEST_MAX_FILES):
+        chunk = files[i : i + _MANIFEST_MAX_FILES]
+        rel = os.path.join(_MANIFEST_DIR, f"m-{uuid.uuid4().hex[:16]}.json")
+        full = os.path.join(table_path, rel)
+        tmp = full + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump([f.to_json() for f in chunk], fh)
+        os.rename(tmp, full)
+        _MANIFEST_CACHE[full] = chunk
+        refs.append(
+            ManifestRef(rel, len(chunk), sum(f.rows for f in chunk), _page_summary(chunk))
+        )
+    return refs
+
+
+class Commit:
+    """One snapshot. ``files`` stays the universal in-memory API (every
+    consumer — merge, MoR, maintenance, tests — reads it), but on disk the
+    list lives in immutable manifest pages referenced by ``manifests``;
+    resolution is lazy and per-page, so a predicate read that skips a page
+    via its summary never parses it."""
+
+    def __init__(
+        self,
+        version: int,
+        schema_json: str,
+        partition_spec: list[dict],
+        files: list[DataFile] | None = None,
+        epoch: dict | None = None,       # {"fence_key": str, "epoch_id": int}
+        metrics: dict | None = None,     # lineage/applied counts for this commit
+        parent: int | None = None,
+        properties: dict | None = None,
+        manifests: list[ManifestRef] | None = None,
+        table_path: str | None = None,
+    ):
+        if files is None and manifests is None:
+            raise ValueError("Commit needs files or manifests")
+        self.version = version
+        self.schema_json = schema_json
+        self.partition_spec = partition_spec
+        self.epoch = epoch
+        self.metrics = metrics
+        self.parent = parent
+        self.properties = properties or {}
+        self.manifests = manifests
+        self._table_path = table_path
+        self._files = files
+
+    @property
+    def files(self) -> list[DataFile]:
+        if self._files is None:
+            out: list[DataFile] = []
+            for ref in self.manifests or []:
+                out.extend(_load_manifest(self._table_path, ref.path))
+            self._files = out
+        return self._files
+
+    def iter_pages(self):
+        """Yield (ref | None, load) per manifest page — ``ref`` carries the
+        skip summary, ``load()`` parses the page (cached). Inline/legacy
+        commits yield one ref-less page."""
+        if self.manifests is not None and self._table_path is not None:
+            for ref in self.manifests:
+                yield ref, (lambda r=ref: _load_manifest(self._table_path, r.path))
+        else:
+            yield None, (lambda: self.files)
+
+    def to_json(self) -> dict:
+        d = {
             "version": self.version,
             "schema_json": self.schema_json,
             "partition_spec": self.partition_spec,
-            "files": [f.to_json() for f in self.files],
             "epoch": self.epoch,
             "metrics": self.metrics,
             "parent": self.parent,
             "properties": self.properties,
         }
+        if self.manifests is not None:
+            d["manifests"] = [r.to_json() for r in self.manifests]
+        else:
+            d["files"] = [f.to_json() for f in self.files]
+        return d
 
     @staticmethod
-    def from_json(d: dict) -> "Commit":
+    def from_json(d: dict, table_path: str | None = None) -> "Commit":
         return Commit(
             version=d["version"],
             schema_json=d["schema_json"],
             partition_spec=d["partition_spec"],
-            files=[DataFile.from_json(f) for f in d["files"]],
+            files=(
+                [DataFile.from_json(f) for f in d["files"]] if "files" in d else None
+            ),
             epoch=d.get("epoch"),
             metrics=d.get("metrics"),
             parent=d.get("parent"),
             properties=d.get("properties", {}),
+            manifests=(
+                [ManifestRef.from_json(r) for r in d["manifests"]]
+                if "manifests" in d
+                else None
+            ),
+            table_path=table_path,
         )
 
 
@@ -199,7 +359,9 @@ class LakeTable:
             schema_json=schema.json(),
             partition_spec=[p.to_json() for p in (partition_by or [])],
             files=[],
+            manifests=[],
             properties=properties or {},
+            table_path=path,
         )
         LakeTable._write_commit(path, c)
         return LakeTable(spark, path)
@@ -227,7 +389,7 @@ class LakeTable:
             raise FileNotFoundError(f"no commits at {self.path}")
         v = versions[-1] if version is None else version
         with open(os.path.join(self._commit_dir(), f"{v:020d}.json")) as fh:
-            return Commit.from_json(json.load(fh))
+            return Commit.from_json(json.load(fh), table_path=self.path)
 
     def refresh(self) -> "LakeTable":
         self._commit = self._load_commit(None)
@@ -294,15 +456,26 @@ class LakeTable:
         filters delete tombstones (``_deleted``); the merge path reads with
         ``include_hidden=True`` to see both.
         """
-        sel = list(self._commit.files if files is None else files)
-        if partition_filter is not None:
-            sel = [f for f in sel if partition_filter(f.partition)]
         if where:
             for col, op, _v in where:
                 if op not in _SKIP_OPS:
                     raise ValueError(f"unsupported predicate op {op!r}; use {_SKIP_OPS}")
                 if col not in {f.name for f in self.schema.fields}:
                     raise ValueError(f"unknown column {col!r} in where predicate")
+        if files is None:
+            # two-level pruning: a page whose summary excludes the predicates
+            # is skipped before it is even parsed, then surviving pages prune
+            # per file
+            sel = []
+            for ref, load in self._commit.iter_pages():
+                if where and ref is not None and not _stats_may_match(ref.stats, where):
+                    continue
+                sel.extend(load())
+        else:
+            sel = list(files)
+        if partition_filter is not None:
+            sel = [f for f in sel if partition_filter(f.partition)]
+        if where:
             sel = [f for f in sel if file_may_match(f, where)]
         schema = self.schema
         if not sel:
@@ -434,7 +607,11 @@ class LakeTable:
             finally:
                 _WRITE_CONF_LOCK.release()
 
-        return self._discover_files(rel_dir, spec), rel_dir
+        # zero-row files (empty write tasks) carry no row groups, so they
+        # have no stats and would blind their whole page's skip summary —
+        # and they contribute nothing to reads; keep them out of the manifest
+        files = [f for f in self._discover_files(rel_dir, spec) if f.rows > 0]
+        return files, rel_dir
 
     def _discover_files(self, rel_dir: str, spec: list[PartitionField]) -> list[DataFile]:
         from concurrent.futures import ThreadPoolExecutor
@@ -531,16 +708,45 @@ class LakeTable:
         base = self._commit
         for attempt in range(max_retries + 1):
             schema_json = (new_schema or StructType.fromJson(json.loads(base.schema_json))).json()
-            kept = [f for f in base.files if f.path not in remove_paths]
+            # Page layout with reuse: a page no removed file lives in is
+            # carried over AS A REFERENCE (no bytes rewritten); dirty pages
+            # are rewritten minus the removed files; `add` becomes fresh
+            # pages. Metadata write cost is O(add + dirty pages) — the
+            # property that keeps 800k-file tables committing in ~constant
+            # time. Legacy inline commits fall back to a full page build.
+            reused: list[ManifestRef] = []
+            rewrite: list[DataFile] = []    # survivors of dirty pages
+            if base.manifests is not None:
+                if not remove_paths:
+                    # append-only (the MoR epoch path): every page is reused
+                    # by reference without even parsing it
+                    reused = list(base.manifests)
+                else:
+                    for ref, load in base.iter_pages():
+                        page = load()
+                        if any(f.path in remove_paths for f in page):
+                            rewrite.extend(f for f in page if f.path not in remove_paths)
+                        else:
+                            reused.append(ref)
+            else:
+                rewrite = [f for f in base.files if f.path not in remove_paths]
+            small = [r for r in reused if r.n_files < _MANIFEST_SMALL_FILES]
+            if len(small) >= _MANIFEST_COMPACT_MIN_PAGES:
+                small_set = {id(r) for r in small}
+                reused = [r for r in reused if id(r) not in small_set]
+                for r in small:
+                    rewrite.extend(_load_manifest(self.path, r.path))
+            manifests = reused + _write_manifests(self.path, rewrite + add)
             c = Commit(
                 version=base.version + 1,
                 schema_json=schema_json,
                 partition_spec=base.partition_spec,
-                files=kept + add,
+                manifests=manifests,
                 epoch=epoch,
                 metrics=metrics,
                 parent=base.version,
                 properties=base.properties,
+                table_path=self.path,
             )
             try:
                 self._write_commit(self.path, c)

@@ -63,10 +63,19 @@ class ProcessStopped(RuntimeError):
 class ProcessRunner:
     """Run a process = forest of operations with chaining, status, stop."""
 
-    def __init__(self, spark: SparkSession, process_name: str, status_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        process_name: str,
+        status_dir: str,
+        params: dict | None = None,
+    ):
         self.spark = spark
         self.process_name = process_name
         self.status_dir = status_dir
+        # global configuration parameters — @param binding source shared by
+        # every item this process runs (README.md:258-260)
+        self.params = params or {}
         os.makedirs(status_dir, exist_ok=True)
 
     # ------------------------------------------------------------ status I/O
@@ -124,7 +133,8 @@ class ProcessRunner:
                     return item.name, {"stopped": True}
                 fence = f"{self.process_name}:{op.name}:{item.name}"
                 return item.name, run_etl_item(
-                    self.spark, item, epoch_id=run_id, fence_prefix=fence
+                    self.spark, item, epoch_id=run_id, fence_prefix=fence,
+                    params=self.params,
                 )
 
             results: list[tuple[str, dict]] = []

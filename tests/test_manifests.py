@@ -1,0 +1,168 @@
+"""Paged manifests (lake/table.py): commits reference immutable manifest
+pages instead of inlining the file list — append-only commits reuse every
+page by reference (O(delta) metadata), dirty pages are rewritten minus the
+removed files, page summaries skip whole pages on predicate reads, and
+maintenance collects dead/orphan pages. The Iceberg manifest-list analog."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType, TimestampType
+
+from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days
+from openmrs_module_epts_etl_spark.lake import table as table_mod
+from openmrs_module_epts_etl_spark.lake.maintenance import expire_snapshots, remove_orphan_files
+
+SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("text", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _rows(n, start=0, day="2026-01-01"):
+    import datetime as dt
+
+    base = dt.datetime.fromisoformat(f"{day} 00:00:00")
+    return [
+        (f"conv-{i % 5}", i, f"text-{i}", base + dt.timedelta(seconds=i))
+        for i in range(start, start + n)
+    ]
+
+
+def _commit_json(t, v):
+    with open(os.path.join(t.path, "_commits", f"{v:020d}.json")) as fh:
+        return json.load(fh)
+
+
+def test_commits_are_paged_and_appends_reuse_pages(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [days("ts")])
+    t.append(_df(spark, _rows(10)))
+    t.append(_df(spark, _rows(10, start=10)))
+
+    d1, d2 = _commit_json(t, 1), _commit_json(t, 2)
+    assert "manifests" in d1 and "files" not in d1
+    # commit 2 reuses commit 1's page by reference — same path, not a copy
+    p1 = {m["path"] for m in d1["manifests"]}
+    p2 = {m["path"] for m in d2["manifests"]}
+    assert p1 < p2 and len(p2) > len(p1)
+    for rel in p2:
+        assert os.path.exists(os.path.join(t.path, rel))
+    assert t.read().count() == 20
+    # refs carry rows/stats summaries
+    assert all(m["rows"] > 0 for m in d2["manifests"])
+
+
+def test_overwrite_rewrites_only_dirty_pages(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [days("ts")])
+    t.append(_df(spark, _rows(10, day="2026-01-01")))
+    t.append(_df(spark, _rows(10, start=100, day="2026-02-01")))
+    clean_pages = {m["path"] for m in _commit_json(t, 1)["manifests"]}
+
+    # replace only the February files
+    feb = [f for f in t.files if f.partition.get("ts_day", "").startswith("2026-02")]
+    assert feb
+    t.overwrite_partitions(_df(spark, _rows(3, start=200, day="2026-02-01")), replaced=feb)
+    d3 = _commit_json(t, 3)
+    pages3 = {m["path"] for m in d3["manifests"]}
+    # the page holding only January files is reused verbatim
+    assert clean_pages <= pages3
+    assert t.read().count() == 13
+    removed = {f.path for f in feb}
+    assert not removed & {f.path for f in t.files}
+
+
+def test_page_summary_skips_pages_on_predicate_read(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    t.append(_df(spark, _rows(50)).coalesce(4))             # turn_idx 0..49
+    t.append(_df(spark, _rows(50, start=1000)).coalesce(4))  # turn_idx 1000..1049
+
+    fresh = LakeTable(spark, t.path)
+    loads: list[str] = []
+    orig = table_mod._load_manifest
+
+    def counting(path, rel):
+        loads.append(rel)
+        return orig(path, rel)
+
+    table_mod._MANIFEST_CACHE.clear()
+    table_mod._load_manifest = counting
+    try:
+        got = fresh.read(where=[("turn_idx", ">=", 1000)])
+        assert got.count() == 50
+        # the low-range page was skipped from its summary without a parse
+        assert len(loads) == 1
+    finally:
+        table_mod._load_manifest = orig
+
+
+def test_legacy_inline_commit_still_readable(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    t.append(_df(spark, _rows(10)))
+    # rewrite commit 1 to the pre-paging inline shape
+    d = _commit_json(t, 1)
+    files = []
+    for m in d.pop("manifests"):
+        with open(os.path.join(t.path, m["path"])) as fh:
+            files.extend(json.load(fh))
+    d["files"] = files
+    with open(os.path.join(t.path, "_commits", f"{1:020d}.json"), "w") as fh:
+        json.dump(d, fh)
+
+    legacy = LakeTable(spark, t.path)
+    assert legacy.read().count() == 10
+    # a commit on top of a legacy base upgrades it to pages
+    legacy.append(_df(spark, _rows(5, start=50)))
+    assert "manifests" in _commit_json(legacy, 2)
+    assert legacy.read().count() == 15
+
+
+def test_maintenance_collects_dead_and_orphan_pages(spark, tmp_path):
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [days("ts")])
+    for i in range(5):
+        t.overwrite_partitions(_df(spark, _rows(4, start=i * 10)), replaced=t.files)
+    all_pages = set()
+    for v in t._versions():
+        all_pages |= {m["path"] for m in _commit_json(t, v).get("manifests", [])}
+
+    expire_snapshots(t, keep_last=2)
+    kept_pages = set()
+    for v in t._versions():
+        kept_pages |= {m["path"] for m in _commit_json(t, v).get("manifests", [])}
+    for rel in all_pages - kept_pages:
+        assert not os.path.exists(os.path.join(t.path, rel)), rel
+    for rel in kept_pages:
+        assert os.path.exists(os.path.join(t.path, rel)), rel
+    assert LakeTable(spark, t.path).read().count() == 4
+
+    # an orphan page (OCC-losing attempt analog) is swept after the grace
+    orphan = os.path.join(t.path, table_mod._MANIFEST_DIR, "m-orphan.json")
+    with open(orphan, "w") as fh:
+        fh.write("[]")
+    os.utime(orphan, (1, 1))
+    n = remove_orphan_files(t, grace_seconds=0.0)
+    assert n >= 1 and not os.path.exists(orphan)
+
+
+def test_small_page_compaction_bounds_page_count(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(table_mod, "_MANIFEST_COMPACT_MIN_PAGES", 4)
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    for i in range(10):
+        # force page-layout recomputation each commit (non-empty removals hit
+        # the dirty-page path; here empty set keeps the append fast path, so
+        # use plain appends and rely on the compaction fold)
+        t.append(_df(spark, _rows(3, start=i * 10)))
+    n_pages = len(_commit_json(t, t.version)["manifests"])
+    # 10 tiny appends must NOT leave 10 pages once compaction kicks in
+    assert n_pages < 10
+    assert LakeTable(spark, t.path).read().count() == 30
