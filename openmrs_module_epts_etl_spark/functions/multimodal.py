@@ -1,12 +1,16 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed metadata.
 
 The Spark-side plumbing — schema, partition-friendly layout, Arrow-batched
-``mapInPandas`` UDF signatures and batch shapes — is real and tested. The
-actual codec step is STUBBED: this container has no image/audio libraries, so
-decode attempts a real backend (PIL / soundfile) via import-try and otherwise
+``mapInPandas`` UDF signatures and batch shapes — is real and tested, and so
+is the codec step for every UNCOMPRESSED format: WAV (PCM16), BMP (24bpp)
+and PPM (P6) are decoded / resized / feature-extracted for real with pure
+numpy (functions/codecs.py — no image/audio libraries needed), including a
+length-prefixed BMP frame container for video whose frame sampling extracts
+real frame payloads. Only compressed formats (jpeg/png/mp3/...) remain
+stubbed: decode attempts a real backend (PIL) via import-try and otherwise
 produces a **deterministic fake decode** (feature bytes derived from the
 payload hash). Passing ``require_real=True`` raises ``NotImplementedError``
-instead of faking, marking exactly where a real deployment plugs in a codec.
+for exactly those formats, marking where a deployment plugs in a codec.
 """
 
 from __future__ import annotations
@@ -69,6 +73,64 @@ def synthesize_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return df.select(*[F.col(f.name).cast(f.dataType) for f in MEDIA_SCHEMA.fields])
 
 
+def synthesize_real_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
+    """Media table whose payloads are REAL encoded files: BMP/PPM images,
+    PCM16 WAV audio, and ``video/bmpseq`` (length-prefixed BMP frames).
+    Deterministic at any parallelism: each row's content comes from a
+    ``default_rng(seed, media_id)`` stream keyed by the row id, generated
+    inside an Arrow-batched mapInPandas (no driver-side loop)."""
+    import struct as _struct
+
+    from . import codecs
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "kind", "data", "format", "width", "height",
+                     "sample_rate", "n_frames")}
+            for mid in pdf["id"]:
+                rng = np.random.default_rng((seed, int(mid)))
+                pick = int(mid) % 3
+                if pick == 0:          # image: BMP or PPM
+                    w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
+                    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                    use_bmp = bool(mid % 2)
+                    data = codecs.encode_bmp(px) if use_bmp else codecs.encode_ppm(px)
+                    vals = ("image", data, "image/bmp" if use_bmp else "image/ppm",
+                            w, h, None, None)
+                elif pick == 1:        # audio: WAV
+                    sr = 16_000
+                    nsamp = int(rng.integers(400, 4000))
+                    x = rng.standard_normal(nsamp).astype(np.float32) * 0.2
+                    vals = ("audio", codecs.encode_wav(x, sr), "audio/wav",
+                            None, None, sr, nsamp)
+                else:                  # video: length-prefixed BMP frames
+                    w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+                    nf = int(rng.integers(2, 12))
+                    frames = []
+                    for _ in range(nf):
+                        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                        b = codecs.encode_bmp(px)
+                        frames.append(_struct.pack("<I", len(b)) + b)
+                    vals = ("video", _struct.pack("<I", nf) + b"".join(frames),
+                            "video/bmpseq", w, h, None, nf)
+                kind, data, fmt, w_, h_, sr_, nf_ = vals
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(kind)
+                rows["data"].append(data)
+                rows["format"].append(fmt)
+                rows["width"].append(w_)
+                rows["height"].append(h_)
+                rows["sample_rate"].append(sr_)
+                rows["n_frames"].append(nf_)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+_REAL_FORMATS = {"image/bmp", "image/ppm", "audio/wav", "video/bmpseq"}
+
+
 def _real_image_backend():
     try:  # pragma: no cover - not present in this container
         from PIL import Image  # noqa: F401
@@ -96,20 +158,62 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def _decode_one(data: bytes, fmt: str):
+    """payload → decoded object for the REAL formats, None otherwise."""
+    from . import codecs
+
+    if fmt == "audio/wav":
+        return codecs.decode_wav(data)
+    if fmt == "image/bmp":
+        return codecs.decode_bmp(data)
+    if fmt == "image/ppm":
+        return codecs.decode_ppm(data)
+    if fmt == "video/bmpseq":
+        import struct as _struct
+
+        nf = _struct.unpack_from("<I", data, 0)[0]
+        # features come from the first frame; sampling handles the rest
+        flen = _struct.unpack_from("<I", data, 4)[0]
+        return nf, codecs.decode_bmp(data[8 : 8 + flen])
+    return None
+
+
+def _features_one(data: bytes | None, fmt: str) -> list | None:
+    from . import codecs
+
+    if data is None:
+        return None
+    dec = _decode_one(data, fmt) if fmt in _REAL_FORMATS else None
+    if dec is None:
+        return _fake_features(data).tolist()
+    if fmt == "audio/wav":
+        samples, rate = dec
+        return codecs.audio_features(samples, rate, FEATURE_DIM).tolist()
+    if fmt == "video/bmpseq":
+        _nf, first = dec
+        return codecs.image_features(first, FEATURE_DIM).tolist()
+    return codecs.image_features(dec, FEATURE_DIM).tolist()
+
+
 def extract_features(df: DataFrame, require_real: bool = False) -> DataFrame:
     """media → (media_id, kind, n_bytes, features[16]) via Arrow-batched
-    mapInPandas. The decode step is the stub boundary."""
+    mapInPandas. REAL decode for wav/bmp/ppm/bmpseq payloads (pure numpy,
+    functions/codecs.py); other formats are the stub boundary —
+    ``require_real=True`` rejects them unless a real backend (PIL) exists."""
     backend = _real_image_backend()
-    if require_real and backend is None:
-        raise NotImplementedError(
-            "real image decode requires PIL, which is not installed; "
-            "install pillow or run with require_real=False (deterministic fake)"
-        )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if require_real and backend is None:
+                bad = set(pdf["format"]) - _REAL_FORMATS
+                if bad:
+                    raise NotImplementedError(
+                        f"no real codec for {sorted(bad)} (PIL not installed); "
+                        "wav/bmp/ppm/bmpseq decode for real, or run with "
+                        "require_real=False (deterministic fake)"
+                    )
             feats = [
-                _fake_features(d).tolist() if d is not None else None for d in pdf["data"]
+                _features_one(d, f) for d, f in zip(pdf["data"], pdf["format"])
             ]
             yield pd.DataFrame(
                 {
@@ -124,32 +228,96 @@ def extract_features(df: DataFrame, require_real: bool = False) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, require_real: bool = False) -> DataFrame:
-    """Image resize plumbing: passes binary through the UDF boundary, stamps
-    the new geometry. Real pixel resampling is the stubbed codec step."""
-    if require_real and _real_image_backend() is None:
-        raise NotImplementedError("real resize requires PIL (not installed)")
-    out_schema = df.schema
+    """Image resize. bmp/ppm payloads are REALLY resampled (nearest-neighbor,
+    pure numpy) and re-encoded; other image formats keep their payload and
+    only re-stamp geometry (the stub) — rejected under ``require_real``
+    unless a real backend (PIL) exists."""
+    backend = _real_image_backend()
+    from . import codecs
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf.copy()
             mask = out["kind"] == "image"
+            if require_real and backend is None:
+                bad = set(out.loc[mask, "format"]) - _REAL_FORMATS
+                if bad:
+                    raise NotImplementedError(
+                        f"no real resize for {sorted(bad)} (PIL not installed)"
+                    )
+            new_data = []
+            for i in out.index:
+                if not mask[i] or out.at[i, "data"] is None:
+                    new_data.append(out.at[i, "data"])
+                    continue
+                fmt = out.at[i, "format"]
+                if fmt == "image/bmp":
+                    px = codecs.resize_nearest(codecs.decode_bmp(out.at[i, "data"]), width, height)
+                    new_data.append(codecs.encode_bmp(px))
+                elif fmt == "image/ppm":
+                    px = codecs.resize_nearest(codecs.decode_ppm(out.at[i, "data"]), width, height)
+                    new_data.append(codecs.encode_ppm(px))
+                else:
+                    new_data.append(out.at[i, "data"])  # stub: payload unchanged
+            out["data"] = new_data
             out.loc[mask, "width"] = np.int32(width)
             out.loc[mask, "height"] = np.int32(height)
-            # stub: payload unchanged (a real backend re-encodes here)
             yield out
 
-    return df.mapInPandas(fn, out_schema)
+    return df.mapInPandas(fn, df.schema)
 
 
-def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled frame index,
-    computed natively (explode over a sequence — no UDF needed for the index
-    fan-out; frame extraction itself would be the codec step)."""
+def sample_frames(df: DataFrame, every_n: int = 10, extract: bool = False) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame index, computed
+    natively (explode over a sequence — no UDF for the index fan-out). With
+    ``extract=True``, ``video/bmpseq`` payloads have the sampled frame's BMP
+    bytes REALLY extracted (length-prefixed container walk in an
+    Arrow-batched mapInPandas); other video formats return null frame_data
+    (the codec stub)."""
     vids = df.filter(F.col("kind") == "video")
     idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-    return vids.select(
+    out = vids.select(
         "media_id",
+        F.col("format").alias("format"),
         F.explode(idx).alias("frame_idx"),
         F.col("data").alias("source_data"),
     )
+    if not extract:
+        return out.drop("format")
+
+    import struct as _struct
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_data", BinaryType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for data, fmt, fi in zip(pdf["source_data"], pdf["format"], pdf["frame_idx"]):
+                if data is None or fmt != "video/bmpseq":
+                    frames.append(None)
+                    continue
+                nf = _struct.unpack_from("<I", data, 0)[0]
+                pos, frame = 4, None
+                for k in range(min(nf, int(fi) + 1)):
+                    flen = _struct.unpack_from("<I", data, pos)[0]
+                    pos += 4
+                    if k == int(fi):
+                        frame = bytes(data[pos : pos + flen])
+                        break
+                    pos += flen
+                frames.append(frame)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "frame_data": frames,
+                }
+            )
+
+    return out.mapInPandas(fn, schema)

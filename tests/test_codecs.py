@@ -1,0 +1,150 @@
+"""Real pure-numpy codecs (functions/codecs.py) and their multimodal wiring:
+WAV/BMP/PPM round-trips, nearest-neighbor resize, feature extraction on real
+decoded content, and real frame extraction from the bmpseq video container.
+Only compressed formats remain behind the declared stub boundary."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from openmrs_module_epts_etl_spark.functions import codecs
+from openmrs_module_epts_etl_spark.functions.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    resize_images,
+    sample_frames,
+    synthesize_real_media,
+)
+
+# ------------------------------------------------------------ pure numpy
+
+
+def test_wav_roundtrip_and_stereo_downmix():
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal(1234) * 0.3).clip(-1, 1).astype(np.float32)
+    payload = codecs.encode_wav(x, 22_050)
+    y, rate = codecs.decode_wav(payload)
+    assert rate == 22_050 and len(y) == 1234
+    np.testing.assert_allclose(y, x, atol=1 / 32000)
+
+    # hand-build a stereo payload: interleave L/R, decode averages to mono
+    import struct
+
+    stereo = np.empty(200, dtype="<i2")
+    stereo[0::2] = 1000
+    stereo[1::2] = 3000
+    data = stereo.tobytes()
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 2, 8000, 8000 * 4, 4, 16, b"data", len(data),
+    )
+    y2, r2 = codecs.decode_wav(hdr + data)
+    assert r2 == 8000 and len(y2) == 100
+    np.testing.assert_allclose(y2, np.full(100, 2000 / 32767.0, np.float32), atol=1e-6)
+
+    with pytest.raises(ValueError):
+        codecs.decode_wav(b"nonsense-bytes-here-not-riff-wave-data")
+
+
+@pytest.mark.parametrize("w,h", [(5, 3), (8, 8), (17, 4)])  # odd widths hit row padding
+def test_bmp_roundtrip(w, h):
+    rng = np.random.default_rng(w * 100 + h)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = codecs.decode_bmp(codecs.encode_bmp(px))
+    np.testing.assert_array_equal(out, px)
+
+
+def test_ppm_roundtrip_and_comment_header():
+    px = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    np.testing.assert_array_equal(codecs.decode_ppm(codecs.encode_ppm(px)), px)
+    # PPM headers may carry comments
+    body = px.tobytes()
+    with_comment = b"P6\n# a comment\n6 4\n255\n" + body
+    np.testing.assert_array_equal(codecs.decode_ppm(with_comment), px)
+
+
+def test_resize_nearest_geometry_and_identity():
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    out = codecs.resize_nearest(px, 4, 2)
+    assert out.shape == (2, 4, 3)
+    np.testing.assert_array_equal(codecs.resize_nearest(px, 8, 8), px)
+
+
+def test_feature_vectors_shape_and_determinism():
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    f1 = codecs.image_features(px, FEATURE_DIM)
+    assert f1.shape == (FEATURE_DIM,) and f1.dtype == np.float32
+    np.testing.assert_array_equal(f1, codecs.image_features(px, FEATURE_DIM))
+    x = rng.standard_normal(500).astype(np.float32) * 0.2
+    a1 = codecs.audio_features(x, 16_000, FEATURE_DIM)
+    assert a1.shape == (FEATURE_DIM,)
+    assert a1[0] == pytest.approx(500 / 16_000)
+
+
+# ------------------------------------------------------------ spark wiring
+
+
+@pytest.fixture(scope="module")
+def real_media(spark):
+    df = synthesize_real_media(spark, 30).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_synthesize_real_media_payloads_decode(real_media):
+    rows = real_media.collect()
+    assert {r["kind"] for r in rows} == {"image", "audio", "video"}
+    for r in rows:
+        if r["format"] == "image/bmp":
+            px = codecs.decode_bmp(bytes(r["data"]))
+            assert px.shape == (r["height"], r["width"], 3)
+        elif r["format"] == "image/ppm":
+            px = codecs.decode_ppm(bytes(r["data"]))
+            assert px.shape == (r["height"], r["width"], 3)
+        elif r["format"] == "audio/wav":
+            x, rate = codecs.decode_wav(bytes(r["data"]))
+            assert rate == r["sample_rate"] and len(x) == r["n_frames"]
+    # deterministic regeneration at different parallelism
+    again = synthesize_real_media(real_media.sparkSession, 30).repartition(7)
+    a = {r["media_id"]: bytes(r["data"]) for r in real_media.collect()}
+    b = {r["media_id"]: bytes(r["data"]) for r in again.collect()}
+    assert a == b
+
+
+def test_extract_features_real_path_matches_direct_codec(real_media):
+    out = {r["media_id"]: r for r in extract_features(real_media, require_real=True).collect()}
+    for r in real_media.collect():
+        feats = np.array(out[r["media_id"]]["features"], np.float32)
+        assert len(feats) == FEATURE_DIM
+        if r["format"] == "audio/wav":
+            x, rate = codecs.decode_wav(bytes(r["data"]))
+            np.testing.assert_allclose(feats, codecs.audio_features(x, rate), atol=1e-6)
+        elif r["format"] == "image/bmp":
+            px = codecs.decode_bmp(bytes(r["data"]))
+            np.testing.assert_allclose(feats, codecs.image_features(px), atol=1e-6)
+
+
+def test_resize_images_really_resamples(real_media):
+    out = resize_images(real_media, 16, 12, require_real=True)
+    for r in out.filter("kind = 'image'").collect():
+        assert r["width"] == 16 and r["height"] == 12
+        dec = (
+            codecs.decode_bmp(bytes(r["data"]))
+            if r["format"] == "image/bmp"
+            else codecs.decode_ppm(bytes(r["data"]))
+        )
+        assert dec.shape == (12, 16, 3)  # payload itself changed, not just metadata
+
+
+def test_sample_frames_extracts_real_bmp_frames(real_media):
+    rows = sample_frames(real_media, every_n=3, extract=True).collect()
+    assert rows
+    vids = {r["media_id"]: r for r in real_media.filter("kind = 'video'").collect()}
+    for r in rows:
+        v = vids[r["media_id"]]
+        px = codecs.decode_bmp(bytes(r["frame_data"]))
+        assert px.shape == (v["height"], v["width"], 3)
+        assert r["frame_idx"] % 3 == 0

@@ -47,10 +47,12 @@ def test_extract_features_batch_shape(media):
 
 
 def test_require_real_raises_without_backend(media):
-    with pytest.raises(NotImplementedError, match="PIL"):
-        extract_features(media, require_real=True)
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 64, 64, require_real=True)
+    # the check rides the UDF (formats are data), so it surfaces at action
+    # time wrapped in Spark's PythonException
+    with pytest.raises(Exception, match="no real codec"):
+        extract_features(media, require_real=True).collect()
+    with pytest.raises(Exception, match="no real resize"):
+        resize_images(media, 64, 64, require_real=True).collect()
 
 
 def test_resize_stamps_geometry(media):
