@@ -154,6 +154,57 @@ def test_maintenance_collects_dead_and_orphan_pages(spark, tmp_path):
     assert n >= 1 and not os.path.exists(orphan)
 
 
+def test_commit_metadata_cost_is_o_delta_at_100k_files(spark, tmp_path):
+    """The 100 TB-scale claim, asserted deterministically: on a table whose
+    manifest holds 100k files (~a 12 TB table at 128 MB files), an epoch
+    append writes only its own page + a commit JSON of page references —
+    a few hundred KB — never an O(table) manifest rewrite. Also: the fence
+    scan stays lazy (no page is parsed just to read epochs)."""
+    import time
+
+    from openmrs_module_epts_etl_spark.lake.table import DataFile
+
+    t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
+    fake = [
+        DataFile(
+            path=f"data/seed/f-{i}.parquet",
+            partition={},
+            rows=1000,
+            stats={"turn_idx": [i * 10, i * 10 + 9]},
+        )
+        for i in range(100_000)
+    ]
+    t.commit(add=fake)
+
+    def commits_bytes():
+        total = 0
+        cdir = os.path.join(t.path, "_commits")
+        for root, _d, names in os.walk(cdir):
+            for n in names:
+                total += os.path.getsize(os.path.join(root, n))
+        return total
+
+    before = commits_bytes()
+    t0 = time.perf_counter()
+    t.commit(add=[DataFile("data/seed/new.parquet", {}, 1000, {"turn_idx": [0, 9]})])
+    wall = time.perf_counter() - t0
+    written = commits_bytes() - before
+    assert written < 300_000, f"append wrote {written} bytes of metadata"
+    assert wall < 2.0, f"append took {wall:.2f}s on a 100k-file table"
+
+    # fence scan does not materialize any page
+    fresh = LakeTable(spark, t.path)
+    loads: list[str] = []
+    orig = table_mod._load_manifest
+    table_mod._MANIFEST_CACHE.clear()
+    table_mod._load_manifest = lambda p, r: (loads.append(r), orig(p, r))[1]
+    try:
+        assert not fresh.epoch_already_applied("nope", 1)
+        assert loads == []
+    finally:
+        table_mod._load_manifest = orig
+
+
 def test_small_page_compaction_bounds_page_count(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(table_mod, "_MANIFEST_COMPACT_MIN_PAGES", 4)
     t = LakeTable.create(spark, str(tmp_path / "t"), SCHEMA, [])
