@@ -1,4 +1,4 @@
-from .runner import StreamingCdcRunner
+from .runner import ProgressLedger, StreamingCdcRunner
 from .stateful import conversation_progress, progress_oracle
 
-__all__ = ["StreamingCdcRunner", "conversation_progress", "progress_oracle"]
+__all__ = ["ProgressLedger", "StreamingCdcRunner", "conversation_progress", "progress_oracle"]

@@ -123,10 +123,28 @@ class StreamingCdcRunner:
             )
         )
 
+    def start(self, processing_time: str | None = None):
+        """Start the live query and return the StreamingQuery (caller owns
+        its lifecycle). ``processing_time`` (e.g. ``"10 seconds"``) sets a
+        processing-time trigger — the deployment shape; None triggers as
+        fast as micro-batches complete. Rate limiting is maxFilesPerTrigger
+        (file source); a real binlog source swaps in maxOffsetsPerTrigger."""
+        reader = (
+            self.spark.readStream.schema(self.feed_schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.feed_dir)
+        )
+        writer = reader.writeStream.foreachBatch(self._apply_batch).option(
+            "checkpointLocation", self.checkpoint_dir
+        )
+        if processing_time is not None:
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
     def run_available_now(self, await_seconds: int = 600) -> list:
         """Process everything currently in the feed directory and stop —
         the batch-bounded trigger used by tests and replay jobs. A live
-        deployment uses the same query with a processing-time trigger."""
+        deployment uses the same query via ``start()``."""
         reader = (
             self.spark.readStream.schema(self.feed_schema)
             .option("maxFilesPerTrigger", self.max_files_per_trigger)
@@ -140,3 +158,64 @@ class StreamingCdcRunner:
         )
         q.awaitTermination(await_seconds)
         return self.batch_results
+
+
+class ProgressLedger:
+    """StreamingQueryListener that persists per-micro-batch progress as one
+    JSON line each — the streaming analog of the reference's progress-meter
+    persistence (api:engine/EtlProgressMeter.java:39-96 saved through the
+    operation status files, api:controller/OperationController.java:550-578).
+    A monitoring consumer tails the file; nothing rides the data path.
+
+    Note ``num_input_rows`` is Spark's *source scan* accounting: a
+    foreachBatch body that runs several jobs over the micro-batch (the merge
+    path does — dedupe aggregation, then join-back + write) re-scans the
+    file-source batch and the metric counts each pass. Unique applied-event
+    counts live in the commit metrics (``applied``), not here.
+
+    Usage::
+
+        ledger = ProgressLedger(path)
+        spark.streams.addListener(ledger.listener())
+        ... run the query ...
+        spark.streams.removeListener(ledger.listener())
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self._listener = None
+
+    def listener(self):
+        if self._listener is not None:
+            return self._listener
+        import json as _json
+
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        ledger_path = self.path
+
+        class _L(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                p = event.progress
+                row = {
+                    "batch_id": p.batchId,
+                    "num_input_rows": p.numInputRows,
+                    "input_rows_per_second": p.inputRowsPerSecond,
+                    "processed_rows_per_second": p.processedRowsPerSecond,
+                    "duration_ms": dict(p.durationMs or {}),
+                    "timestamp": p.timestamp,
+                }
+                with open(ledger_path, "a") as fh:
+                    fh.write(_json.dumps(row) + "\n")
+
+            def onQueryTerminated(self, event):
+                pass
+
+            def onQueryIdle(self, event):
+                pass
+
+        self._listener = _L()
+        return self._listener

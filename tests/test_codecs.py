@@ -148,3 +148,51 @@ def test_sample_frames_extracts_real_bmp_frames(real_media):
         px = codecs.decode_bmp(bytes(r["frame_data"]))
         assert px.shape == (v["height"], v["width"], 3)
         assert r["frame_idx"] % 3 == 0
+
+
+# ------------------------------------------------------- property-based
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 20), st.integers(1, 20), st.just(3)))
+)
+def test_bmp_roundtrip_property(px):
+    np.testing.assert_array_equal(codecs.decode_bmp(codecs.encode_bmp(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 20), st.integers(1, 20), st.just(3)))
+)
+def test_ppm_roundtrip_property(px):
+    np.testing.assert_array_equal(codecs.decode_ppm(codecs.encode_ppm(px)), px)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    arrays(np.int16, st.integers(1, 2000)),
+    st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, rate):
+    y, r = codecs.decode_wav(codecs.encode_wav(samples, rate))
+    assert r == rate and len(y) == len(samples)
+    np.testing.assert_allclose(y, samples.astype(np.float32) / 32767.0, atol=1e-6)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 16), st.integers(1, 16), st.just(3))),
+    st.integers(1, 24),
+    st.integers(1, 24),
+)
+def test_resize_property_shape_and_value_membership(px, w, h):
+    out = codecs.resize_nearest(px, w, h)
+    assert out.shape == (h, w, 3)
+    # nearest-neighbor only selects existing pixels
+    src = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in src for p in out.reshape(-1, 3))

@@ -171,3 +171,36 @@ def test_stateful_conversation_progress(spark, tmp_path, feed_dir):
     for col in ["n_events", "n_deletes", "max_turn_idx", "max_lsn"]:
         assert list(got[col].astype("int64")) == list(exp[col].astype("int64")), col
     assert list(got["last_ts"]) == list(exp["last_ts"])
+
+
+def test_live_trigger_and_progress_ledger(spark, tmp_path, feed_dir):
+    """start() with a processing-time trigger drives the same fenced merge
+    path, and the ProgressLedger listener persists one JSON line per
+    micro-batch (the progress-meter persistence analog)."""
+    import json
+    import time
+
+    from openmrs_module_epts_etl_spark.streaming import ProgressLedger
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), [days("ts"), bucket(8, "conv_id")]
+    )
+    runner = _runner(spark, feed_dir, t.path, str(tmp_path / "ck"))
+    ledger = ProgressLedger(str(tmp_path / "progress.jsonl"))
+    spark.streams.addListener(ledger.listener())
+    q = runner.start(processing_time="1 seconds")
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if runner.batch_results and os.path.exists(ledger.path):
+                lines = open(ledger.path).read().strip().splitlines()
+                if len(lines) >= 2:
+                    break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        spark.streams.removeListener(ledger.listener())
+    rows = [json.loads(ln) for ln in open(ledger.path).read().strip().splitlines()]
+    assert rows and all("batch_id" in r and "num_input_rows" in r for r in rows)
+    assert sum(r["num_input_rows"] for r in rows) > 0
+    assert any(r["duration_ms"] for r in rows)
