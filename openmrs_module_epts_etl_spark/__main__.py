@@ -49,12 +49,21 @@ def _build_operations(d: dict, items: list[EtlItemConfig]) -> list[OperationConf
         missing = [n for n in (wanted or []) if n not in by_name]
         if missing:
             raise SystemExit(f"operation {op.get('name')!r} references unknown items: {missing}")
+        op_type = op.get("operationType", "etl")
+        if wanted is not None:
+            resolved = [by_name[n] for n in wanted]
+        else:
+            # itemless op types (transport/load) default to no items; the
+            # item-driven types default to every item, the common case
+            resolved = list(items) if op_type in ("etl", "export") else []
         return OperationConfig(
             name=op["name"],
-            items=[by_name[n] for n in wanted] if wanted is not None else list(items),
+            items=resolved,
             processing_mode=op.get("processingMode", "serial"),
             max_item_threads=op.get("maxItemThreads", 4),
             children=[mk(c) for c in op.get("children", [])],
+            op_type=op_type,
+            options=op.get("options", {}),
         )
 
     ops = d.get("operations")

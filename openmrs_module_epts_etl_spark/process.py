@@ -41,19 +41,41 @@ from pyspark.sql import SparkSession
 from .config import EtlItemConfig, run_etl_item
 
 
+OPERATION_TYPES = ("etl", "export", "transport", "load")
+
+
 @dataclass
 class OperationConfig:
-    """One operation: a set of items plus chained children (EtlOperationConfig)."""
+    """One operation: a set of items plus chained children (EtlOperationConfig).
+
+    ``op_type`` is the EtlOperationType analog (api:conf/types/
+    EtlOperationType.java), covering the file-based remote-sync lifecycle of
+    SURVEY.md §3.3 as chained operations:
+
+    - ``etl``       — src→dst merges per item (the default)
+    - ``export``    — DB_QUICK_EXPORT: each item's built source frame →
+                      JSON batch + manifest (options: ``exportDir``)
+    - ``transport`` — TRANSPORT: move manifest-validated batches
+                      (options: ``exportDir``, ``importDir``, ``backupDir``)
+    - ``load``      — DATABASE_MERGE_FROM_JSON: stream the import area
+                      through the fenced merge (options: ``importDir``,
+                      ``tablePath``, ``key``, ``archiveDir``,
+                      ``withEventColumns``)
+    """
 
     name: str
     items: list[EtlItemConfig] = field(default_factory=list)
     processing_mode: str = "serial"  # serial | parallel
     max_item_threads: int = 4        # parallel mode fan-out (maxSupportedEngines analog)
     children: list["OperationConfig"] = field(default_factory=list)
+    op_type: str = "etl"
+    options: dict = field(default_factory=dict)
 
     def __post_init__(self):
         if self.processing_mode not in ("serial", "parallel"):
             raise ValueError(f"processingMode must be serial|parallel, got {self.processing_mode!r}")
+        if self.op_type not in OPERATION_TYPES:
+            raise ValueError(f"operationType must be one of {OPERATION_TYPES}, got {self.op_type!r}")
 
 
 class ProcessStopped(RuntimeError):
@@ -131,6 +153,8 @@ class ProcessRunner:
             def run_item(item: EtlItemConfig) -> tuple[str, dict]:
                 if self.stop_requested():
                     return item.name, {"stopped": True}
+                if op.op_type == "export":
+                    return item.name, self._export_item(op, item, run_id)
                 fence = f"{self.process_name}:{op.name}:{item.name}"
                 return item.name, run_etl_item(
                     self.spark, item, epoch_id=run_id, fence_prefix=fence,
@@ -139,7 +163,11 @@ class ProcessRunner:
 
             results: list[tuple[str, dict]] = []
             try:
-                if op.processing_mode == "parallel" and len(op.items) > 1:
+                if op.op_type == "transport":
+                    results.append(("transport", self._run_transport(op)))
+                elif op.op_type == "load":
+                    results.append(("load", self._run_load(op)))
+                elif op.processing_mode == "parallel" and len(op.items) > 1:
                     with ThreadPoolExecutor(max_workers=op.max_item_threads) as ex:
                         futures = [ex.submit(run_item, item) for item in op.items]
                         for fut in as_completed(futures):
@@ -183,6 +211,87 @@ class ProcessRunner:
         # chaining: children start only after the parent finished
         for child in op.children:
             self._run_operation(child, run_id, out)
+
+    # ------------------------------------------------ file-sync operations
+    def _export_item(self, op: OperationConfig, item: EtlItemConfig, run_id: int) -> dict:
+        """DB_QUICK_EXPORT: the item's built source frame → one JSON batch +
+        manifest, atomically published. Batch tags carry the run id, so a
+        re-run of the same run id skips already-published batches (the
+        export-side idempotence analog of the merge fence)."""
+        from .config import build_item_frame
+        from .sources.files import json_export
+
+        out_dir = op.options["exportDir"]
+        tag = f"{item.name}-r{run_id}"
+        if os.path.exists(os.path.join(out_dir, tag)):
+            return {"skipped": True, "batch": tag}
+        return json_export(build_item_frame(self.spark, item, self.params), out_dir, tag)
+
+    def _run_transport(self, op: OperationConfig) -> dict:
+        from .sources.files import transport_batches
+
+        o = op.options
+        moved = transport_batches(
+            o["exportDir"], o["importDir"], backup_dir=o.get("backupDir")
+        )
+        return {"moved": [m["batch"] for m in moved], "rows": sum(m["rows"] for m in moved)}
+
+    def _run_load(self, op: OperationConfig) -> dict:
+        """DATABASE_MERGE_FROM_JSON: stream the import area through the
+        fenced merge (json_load_stream → foreachBatch merge_into). The read
+        schema derives from the destination table's payload columns plus the
+        change-event columns (op/lsn/origin) unless ``withEventColumns`` is
+        false; missing event columns are synthesized exactly like
+        run_etl_item's plain-upsert adaptation."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from .cdc.merge import merge_into
+        from .lake.table import LakeTable
+        from .sources.files import json_load_stream
+
+        o = op.options
+        table = LakeTable(self.spark, o["tablePath"])
+        key = o.get("key", ["conv_id", "turn_idx"])
+        fields = [f for f in table.schema.fields if not f.name.startswith("_")]
+        if o.get("withEventColumns", True):
+            fields = [
+                StructField("op", StringType()),
+                StructField("lsn", LongType()),
+                StructField("origin", StringType()),
+            ] + fields
+        ck = o.get("checkpointDir") or os.path.join(self.status_dir, f"load-ck-{op.name}")
+        reader = json_load_stream(
+            self.spark, o["importDir"], StructType(fields), ck,
+            archive_dir=o.get("archiveDir"),
+        )
+        fence = f"{self.process_name}:{op.name}"
+        batches: list[dict] = []
+
+        def apply(batch_df, epoch_id: int) -> None:
+            batch = batch_df
+            if "op" not in batch.columns:
+                batch = batch.withColumn("op", F.lit("I"))
+            if "lsn" not in batch.columns:
+                batch = batch.withColumn("lsn", F.lit(int(epoch_id)).cast("long"))
+            if "origin" not in batch.columns:
+                batch = batch.withColumn("origin", F.lit(op.name))
+            res = merge_into(
+                LakeTable(batch_df.sparkSession, o["tablePath"]), batch, key=key,
+                fence_key=fence, epoch_id=int(epoch_id),
+            )
+            batches.append(
+                {"applied": res.applied, "skipped_epoch": bool(res.skipped_epoch)}
+            )
+
+        q = (
+            reader.writeStream.foreachBatch(apply)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(int(o.get("awaitSeconds", 600)))
+        return {"table": table.path, "batches": batches}
 
 
 def _summ(v: dict) -> dict:
