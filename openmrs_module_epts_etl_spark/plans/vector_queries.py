@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from ..functions.vector import (
     _hyperplanes,
     brute_force_cosine_topk,
+    ivf_flat_topk,
     lsh_bucketed_topk,
     norm,
 )
@@ -148,11 +149,75 @@ SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+# IVF codebook: a deterministic sample of corpus rows — vec_ids
+# 0, 31, …, 465 (16 centroids at every SF ≥ 0.01). Both engines read the SAME
+# vectors from the table, so no constants cross the engine boundary at all.
+IVF_STEP, IVF_MAX_CID, IVF_NPROBE = 31, 496, 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Second ANN scale path: IVF-Flat over a sampled codebook. The 16
+    centroid vectors are collected driver-side (bounded: the codebook, not
+    the corpus) and embedded as plan literals, making cell assignment a
+    shuffle-free projection — see functions/vector.ivf_flat_topk."""
+    emb = t(spark, sf, "embeddings")
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(
+            (F.col("vec_id") % IVF_STEP == 0) & (F.col("vec_id") < IVF_MAX_CID)
+        )
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_flat_topk(emb, queries, cents, k=TOP_K, nprobe=IVF_NPROBE)
+
+
+_IVF_COS = """
+           list_sum(list_transform(list_zip({a}, {b}),
+                                   x -> (x[1]::DOUBLE) * (x[2]::DOUBLE)))
+           / (sqrt(list_sum(list_transform({a}, v -> (v::DOUBLE) * (v::DOUBLE))))
+              * sqrt(list_sum(list_transform({b}, v -> (v::DOUBLE) * (v::DOUBLE)))))"""
+
+ANN_IVF_SQL = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+           WHERE vec_id % {IVF_STEP} = 0 AND vec_id < {IVF_MAX_CID}),
+cell_scores AS (
+  SELECT e.vec_id, c.cid, {_IVF_COS.format(a="e.embedding", b="c.cv")} AS s
+  FROM embeddings e CROSS JOIN c),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM cell_scores) WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+    FROM cell_scores WHERE vec_id < {N_QUERIES}) WHERE rn <= {IVF_NPROBE}),
+q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         ROUND({_IVF_COS.format(a="q.qv", b="e.embedding")}, 4) AS cosine_sim
+  FROM qprobe p
+  JOIN assigned a ON a.cell = p.cell
+  JOIN q ON q.query_id = p.query_id
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "embedding_norms": embedding_norms,
     "label_centroids": label_centroids,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
 }
 
 ORACLES = {
@@ -160,4 +225,5 @@ ORACLES = {
     "embedding_norms": EMBEDDING_NORMS_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "ann_lsh_topk": _ann_lsh_sql(64, 12, 42),
+    "ann_ivf_topk": ANN_IVF_SQL,
 }

@@ -81,6 +81,33 @@ def test_ann_lsh_recall_vs_brute_force(spark):
     assert recall >= 0.5, f"LSH recall too low: {recall}"
 
 
+def test_ann_ivf_recall_vs_brute_force(spark):
+    import numpy as np
+
+    from openmrs_module_epts_etl_spark.functions.vector import ivf_flat_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.normal(size=(200, 16)).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 5)
+    # sampled codebook: every 25th vector → 8 cells of ~25; nprobe=3 probes
+    # ~3/8 of the corpus per query
+    cents = [(i, [float(x) for x in vecs[i]]) for i in range(0, 200, 25)]
+    exact = brute_force_cosine_topk(emb, queries, k=5)
+    approx = ivf_flat_topk(emb, queries, cents, k=5, nprobe=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # every approx hit must carry the exact cosine (IVF-Flat ranks exactly
+    # inside probed cells — only coverage is approximate)
+    exact_sims = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact.collect()}
+    for r in approx.collect():
+        if (r.query_id, r.neighbor_id) in exact_sims:
+            assert r.cosine_sim == exact_sims[(r.query_id, r.neighbor_id)]
+
+
 def test_brute_force_topk_shape(spark):
     rows = [(i, [float(i == j) for j in range(4)]) for i in range(10)]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
