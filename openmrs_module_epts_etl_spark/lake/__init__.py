@@ -1,3 +1,4 @@
+from .clustering import rewrite_clustered
 from .maintenance import expire_snapshots, remove_orphan_files
 from .partitioning import PartitionField, bucket, days, identity
 from .table import LakeTable, file_may_match
@@ -5,6 +6,7 @@ from .table import LakeTable, file_may_match
 __all__ = [
     "LakeTable",
     "file_may_match",
+    "rewrite_clustered",
     "PartitionField",
     "bucket",
     "days",
