@@ -59,6 +59,48 @@ def running_total(
     return df.withColumn(alias, F.sum(value_col).over(w))
 
 
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    tracked: list[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a changelog:
+    per entity key, collapse runs of unchanged ``tracked`` attributes and
+    emit one validity interval per surviving version —
+    (keys.., tracked.., valid_from, valid_to, is_current).
+
+    This is the lake-side twin of the reference's stage→apply loop when the
+    destination keeps history instead of overwriting (the reference's
+    chooseMostRecent keeps only the winner,
+    api:common/model/EtlStageRecordVO.java:398-418 — SCD2 keeps the losers
+    with their reigns). Two per-key windows, no global sort:
+
+    1. change detection: a null-safe struct compare against ``lag`` —
+       a version survives iff it differs from its predecessor;
+    2. interval stitching: ``lead(valid_from)`` over the survivors.
+
+    ``order_cols`` must be a deterministic total order per key (e.g.
+    [ts, event_id]); ``ts_col`` (default: first order column) supplies the
+    validity boundary values.
+    """
+    ts_col = ts_col or order_cols[0]
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    cur = F.struct(*[F.col(c) for c in tracked])
+    # row 1 of each key has lag NULL; eqNullSafe against the NULL struct is
+    # false, so the first version always survives without a special branch
+    changed = ~cur.eqNullSafe(F.lag(cur).over(w))
+    kept = df.withColumn("__chg", changed).filter(F.col("__chg")).drop("__chg")
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    out = kept.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w2)
+    )
+    return out.withColumn("is_current", F.col("valid_to").isNull()).select(
+        *keys, *tracked, "valid_from", "valid_to", "is_current"
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -113,8 +113,37 @@ SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
 FROM events GROUP BY 1, 2
 """
 
+def user_state_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 history of each user's event_type "state": consecutive same-type
+    events collapse into one validity interval (operators/windows.scd2_history
+    — two per-key windows, no global sort)."""
+    from ..operators.windows import scd2_history
+
+    e = t(spark, sf, "events")
+    return scd2_history(
+        e, keys=["user_id"], order_cols=["ts", "event_id"], tracked=["event_type"]
+    )
+
+
+USER_STATE_SCD2_SQL = """
+WITH o AS (
+  SELECT user_id, event_id, ts, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), kept AS (
+  SELECT user_id, event_id, ts, event_type FROM o
+  WHERE prev IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+FROM kept
+"""
+
+
 QUERIES = {
     "latest_event_per_user": latest_event_per_user,
+    "user_state_scd2": user_state_scd2,
     "event_type_stats": event_type_stats,
     "user_sessions": user_sessions,
     "running_value_per_user": running_value_per_user,
@@ -123,6 +152,7 @@ QUERIES = {
 
 ORACLES = {
     "latest_event_per_user": LATEST_EVENT_SQL,
+    "user_state_scd2": USER_STATE_SCD2_SQL,
     "event_type_stats": EVENT_TYPE_STATS_SQL,
     "user_sessions": USER_SESSIONS_SQL,
     "running_value_per_user": RUNNING_VALUE_SQL,
