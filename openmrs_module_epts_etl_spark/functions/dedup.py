@@ -302,6 +302,37 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def contaminated_ids(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: ids of corpus documents sharing ANY word
+    n-gram with the benchmark/eval set — the standard pre-training hygiene
+    filter (held-out test questions must not leak into training data).
+
+    Scale shape: the benchmark side is eval data — thousands of rows, not
+    corpus-sized — so its distinct shingle set is broadcast and the corpus
+    side is never shuffled: shingling is a per-row fan-out, the containment
+    test a broadcast left-semi join, and the final distinct is keyed by id
+    (bounded by |corpus|, map-side combined). The corpus is read exactly
+    once, no sort, no wide exchange of shingle strings.
+
+    ``n`` trades recall for precision exactly as in published
+    decontamination setups (8-13 word overlap windows); small-SF oracles use
+    n=3 because synthetic docs are short.
+    """
+    c = word_shingles(corpus, id_col, text_col, n)
+    b = word_shingles(benchmark, id_col, text_col, n).select("shingle").distinct()
+    return (
+        c.join(F.broadcast(b), "shingle", "left_semi")
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+
+
 def sum_ints(cols: list[Column]) -> Column:
     out = cols[0]
     for c in cols[1:]:

@@ -112,6 +112,32 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+# PII patterns chosen to behave identically under Java regex (Spark) and
+# RE2 (DuckDB oracle): no backrefs, no lookaround. Order matters — emails
+# are redacted before the bare-IP pattern could eat a dotted hostname.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]\d{2,4}[ -]\d{3,4}[ -]\d{3,4}", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / international phone numbers, each replaced by a
+    typed placeholder. Pure chained ``regexp_replace`` — JVM-side, codegen'd,
+    scan-speed; the mandatory scrubbing pass of a training-data pipeline."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (``regexp_count`` — same engine pass as the
+    redaction; use for audit metrics / thresholding leaky documents)."""
+    return {kind: F.regexp_count(text, F.lit(pat)) for kind, pat, _ in PII_PATTERNS}
+
+
 def with_text_analysis(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents → documents + analysis columns (one projection, no shuffle)."""
     t = F.col(text_col)

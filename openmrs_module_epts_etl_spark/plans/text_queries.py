@@ -13,6 +13,7 @@ from ..functions.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
     _POLY_M,
+    contaminated_ids,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_coefficients,
@@ -363,6 +364,161 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, bands=4, rows_per_band=4)
 
 
+def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters per document: duplicate-word fraction,
+    duplicate-bigram fraction, and the token share of the single most
+    frequent bigram. These are the standard "is this page boilerplate/spam"
+    signals a training-data pipeline thresholds on before anything else.
+
+    The per-row pieces (word split, distinct count, bigram synthesis) are
+    higher-order JVM expressions; the mode count (max bigram frequency)
+    goes through explode→two-level groupBy — one shuffle keyed by
+    (doc_id, bigram), map-side combined, so cost at 100 TB is a linear
+    scan plus one token-count-sized exchange, never per-row quadratic
+    mode scans."""
+    d = t(spark, sf, "documents")
+    w = d.select(
+        "doc_id", F.expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')").alias("w")
+    )
+    base = w.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.expr("size(array_distinct(w))").alias("d_words"),
+        F.expr(
+            "CASE WHEN size(w) < 2 THEN array() "
+            "ELSE transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) END"
+        ).alias("grams"),
+    )
+    counts = (
+        base.select("doc_id", F.explode("grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    agg = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_g"), F.count("*").alias("d_g"), F.max("c").alias("m")
+    )
+    return base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.round((F.col("n_words") - F.col("d_words")) / F.col("n_words").cast("double"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(
+            F.when(F.col("n_g") > 0, (F.col("n_g") - F.col("d_g")) / F.col("n_g").cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.when(F.col("n_g") > 0, F.lit(2) * F.col("m") / F.col("n_words").cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), base AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS d_words,
+         CASE WHEN len(w) < 2 THEN []
+              ELSE [w[i] || ' ' || w[i + 1] for i in range(1, len(w))] END AS grams
+  FROM w
+), c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(grams) AS g FROM base)
+  GROUP BY doc_id, g
+), agg AS (
+  SELECT doc_id, sum(c) AS n_g, count(*) AS d_g, max(c) AS m FROM c GROUP BY doc_id
+)
+SELECT base.doc_id, n_words,
+       round((n_words - d_words) / n_words::DOUBLE, 6) AS dup_word_frac,
+       round(CASE WHEN n_g > 0 THEN (n_g - d_g) / n_g::DOUBLE ELSE 0.0 END, 6)
+         AS dup_bigram_frac,
+       round(CASE WHEN n_g > 0 THEN 2 * m / n_words::DOUBLE ELSE 0.0 END, 6)
+         AS top_bigram_frac
+FROM base LEFT JOIN agg USING (doc_id)
+"""
+
+
+def decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (functions/dedup.contaminated_ids): corpus
+    docs sharing any word 3-gram with a deterministic "eval set" slice
+    (doc_id % 97 = 0). Broadcast semi-join — the corpus side never
+    shuffles."""
+    docs = t(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return contaminated_ids(corpus, bench, "doc_id", "text", n=3)
+
+
+DECONTAMINATION_SQL = f"""
+WITH {_shingle_cte_sql(3)},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+SELECT DISTINCT doc_id FROM sh
+WHERE doc_id % 97 <> 0 AND shingle IN (SELECT shingle FROM bench)
+"""
+
+
+def pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (functions/text.redact_pii + pii_counts). The synthetic
+    docs carry no PII, so the query first injects a deterministic email/IP/
+    phone per doc — identically in the oracle — then counts and redacts.
+    Everything is chained regexp over one projection: scan-speed, no
+    shuffle."""
+    from ..functions.text import pii_counts, redact_pii
+
+    docs = t(spark, sf, "documents")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" call +1-555-0100-999")).otherwise(
+            F.lit("")
+        ),
+    )
+    c = pii_counts(injected)
+    return docs.select(
+        "doc_id",
+        c["email"].cast("long").alias("n_email"),
+        c["ipv4"].cast("long").alias("n_ipv4"),
+        c["phone"].cast("long").alias("n_phone"),
+        F.md5(redact_pii(injected)).alias("redacted_md5"),
+    )
+
+
+def _pii_sql() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    pats = {kind: (pat, repl) for kind, pat, repl in PII_PATTERNS}
+    red = "itext"
+    for kind in ("email", "ipv4", "phone"):
+        pat, repl = pats[kind]
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    counts = ",\n  ".join(
+        f"len(regexp_extract_all(itext, '{pats[kind][0]}'))::BIGINT AS n_{kind}"
+        for kind in ("email", "ipv4", "phone")
+    )
+    return f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.7'
+              || CASE WHEN doc_id % 3 = 0 THEN ' call +1-555-0100-999' ELSE '' END
+           AS itext
+  FROM documents)
+SELECT doc_id,
+  {counts},
+  md5({red}) AS redacted_md5
+FROM inj
+"""
+
+
 QUERIES = {
     "doc_stats_by_lang": doc_stats_by_lang,
     "doc_quality": doc_quality,
@@ -374,6 +530,9 @@ QUERIES = {
     "simhash_signatures": simhash_signatures_q,
     "simhash_near_dups": simhash_near_dups_q,
     "minhash_lsh_candidates": minhash_lsh_candidates_q,
+    "doc_repetition": doc_repetition,
+    "decontamination": decontamination,
+    "pii_redaction": pii_redaction,
 }
 
 ORACLES = {
@@ -387,4 +546,7 @@ ORACLES = {
     "simhash_signatures": _simhash_sql(3, 42),
     "simhash_near_dups": _simhash_near_dups_sql(3, 42, 3),
     "minhash_lsh_candidates": _lsh_candidates_sql(16, 4, 4, 3),
+    "doc_repetition": DOC_REPETITION_SQL,
+    "decontamination": DECONTAMINATION_SQL,
+    "pii_redaction": _pii_sql(),
 }

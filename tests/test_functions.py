@@ -154,3 +154,48 @@ def test_lsh_near_dup_recall_vs_exact(spark):
     assert got <= exact                       # verification is exact
     recall = len(got & exact) / len(exact)
     assert recall >= 0.9, f"LSH near-dup recall {recall:.2f} < 0.9"
+
+
+def test_contaminated_ids_broadcast_semi(spark):
+    from openmrs_module_epts_etl_spark.functions.dedup import contaminated_ids
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "I saw the quick brown fox yesterday"),   # shares "the quick brown"
+            (2, "completely unrelated sentence here"),
+            (3, "fox jumps over fences all day"),         # shares "fox jumps over"
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in contaminated_ids(corpus, bench, "doc_id", "text", n=3).collect()}
+    assert got == {1, 3}
+    # the containment join must be broadcast (corpus side never shuffles)
+    plan = contaminated_ids(corpus, bench, "doc_id", "text", n=3)._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+
+
+def test_redact_pii_patterns(spark):
+    from pyspark.sql import functions as F
+
+    from openmrs_module_epts_etl_spark.functions.text import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@x-y.co.uk and 192.168.0.1 or +44 20 7946 0958",),
+            ("no pii at all",),
+            ("ip 999.1.2.3 still redacts as dotted quad",),
+        ],
+        "t string",
+    )
+    out = df.select(
+        redact_pii(F.col("t")).alias("r"),
+        *[v.alias(k) for k, v in pii_counts(F.col("t")).items()],
+    ).collect()
+    assert out[0].r == "mail <EMAIL> and <IP> or <PHONE>"
+    assert (out[0].email, out[0].ipv4, out[0].phone) == (1, 1, 1)
+    assert out[1].r == "no pii at all"
+    assert out[2].r == "ip <IP> still redacts as dotted quad"
