@@ -2,11 +2,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import config_queries, events_queries, ops_queries, text_queries, tpch, vector_queries
+from . import (
+    config_queries,
+    events_queries,
+    ops_queries,
+    text_queries,
+    tpch,
+    transcript_queries,
+    vector_queries,
+)
 
 QUERIES = {}
 ORACLES = {}
-for mod in (tpch, events_queries, text_queries, vector_queries, ops_queries, config_queries):
+for mod in (
+    tpch,
+    events_queries,
+    text_queries,
+    vector_queries,
+    ops_queries,
+    config_queries,
+    transcript_queries,
+):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
