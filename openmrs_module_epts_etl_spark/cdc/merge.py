@@ -182,13 +182,18 @@ def merge_into(
         table_cols = [f.name for f in schema.fields]
 
         # ---- bucket pruning from the batch alone ----------------------------
+        # files from an older partition spec (pre-evolution layout) carry
+        # stale partition values — they can never be pruned by current-spec
+        # hints, only rewritten; migrate_layout shrinks that set over time
         candidate_files = table.files
+        cur_spec = table.spec_id
         if key_derived and candidate_files and hint_rows is not None:
             hints = {tuple(r[p.name] for p in key_derived) for r in hint_rows}
             candidate_files = [
                 f
                 for f in candidate_files
-                if tuple(f.partition.get(p.name) for p in key_derived) in hints
+                if f.spec_id != cur_spec
+                or tuple(f.partition.get(p.name) for p in key_derived) in hints
             ]
 
         bcast_keys = F.broadcast if batch_rows <= BROADCAST_KEYS_MAX_ROWS else (lambda d: d)
@@ -216,15 +221,34 @@ def merge_into(
             affected = {()}
         timings["plan"] = time.perf_counter() - t0
 
+        cur_files = [f for f in candidate_files if f.spec_id == cur_spec]
+        old_files = [f for f in candidate_files if f.spec_id != cur_spec]
         rewrite_files = (
             [
                 f
-                for f in candidate_files
+                for f in cur_files
                 if tuple(f.partition.get(n) for n in part_names) in affected
             ]
             if spec
-            else candidate_files
+            else list(cur_files)
         )
+        if old_files:
+            # pre-evolution files can't be selected by current-spec partition
+            # tuples; probe them directly — one bounded semi-join over the
+            # (shrinking, post-evolution-only) old-layout set. A matched old
+            # file gets rewritten and thereby MIGRATES to the current layout;
+            # untouched old files stay until migrate_layout sweeps them.
+            hit = {
+                r["__f"]
+                for r in table.read(files=old_files, include_hidden=True)
+                .join(bcast_keys(batch_keys), on=key, how="left_semi")
+                .select(F.input_file_name().alias("__f"))
+                .distinct()
+                .collect()
+            }
+            rewrite_files += [
+                f for f in old_files if any(h.endswith("/" + f.path) for h in hit)
+            ]
 
         # ---- job 3: merge + write + metrics in ONE pass -----------------------
         t0 = time.perf_counter()

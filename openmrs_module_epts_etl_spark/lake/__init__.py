@@ -1,5 +1,5 @@
 from .clustering import rewrite_clustered
-from .maintenance import expire_snapshots, remove_orphan_files
+from .maintenance import expire_snapshots, migrate_layout, remove_orphan_files
 from .partitioning import PartitionField, bucket, days, identity
 from .table import LakeTable, file_may_match
 
@@ -12,5 +12,6 @@ __all__ = [
     "days",
     "identity",
     "expire_snapshots",
+    "migrate_layout",
     "remove_orphan_files",
 ]

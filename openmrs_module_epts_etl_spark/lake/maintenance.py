@@ -154,3 +154,40 @@ def _prune_empty_dirs(root: str) -> None:
                 os.rmdir(dirpath)
             except OSError:
                 pass
+
+
+def migrate_layout(table: LakeTable, max_files: int | None = None) -> dict:
+    """Rewrite files laid out under an older partition spec into the current
+    one — the cleanup half of ``LakeTable.evolve_partition_spec`` (Iceberg's
+    rewrite_data_files after a spec change). Evolution itself is metadata-
+    only; old files stay correct but unprunable by current-spec partition
+    values, and every merge must probe them. This sweep migrates them so the
+    probe set shrinks to zero.
+
+    ``max_files`` bounds one invocation (run it incrementally from the
+    maintenance cadence at 100 TB — each call is one read+arranged-write of
+    just the selected old files plus one OCC swap commit; current-spec files
+    are never touched).
+    """
+    cur = table.spec_id
+    victims = [f for f in table.files if f.spec_id != cur]
+    if max_files is not None:
+        victims = victims[:max_files]
+    if not victims:
+        return {"migrated_files": 0, "remaining_old_files": 0, "rows": 0}
+    data = table.read(files=victims, include_hidden=True)
+    table.overwrite_partitions(
+        data,
+        replaced=victims,
+        metrics={
+            "operation": "migrate_layout",
+            "migrated_files": len(victims),
+            "rows": sum(f.rows for f in victims),
+        },
+    )
+    remaining = sum(1 for f in table.files if f.spec_id != cur)
+    return {
+        "migrated_files": len(victims),
+        "remaining_old_files": remaining,
+        "rows": sum(f.rows for f in victims),
+    }

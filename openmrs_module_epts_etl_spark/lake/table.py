@@ -81,16 +81,27 @@ class DataFile:
     # which order lexicographically). A column absent here means "unknown" and
     # never causes a skip. None on manifests written before stats existed.
     stats: dict[str, list] | None = None
+    # Which partition spec this file was laid out under (Iceberg's per-file
+    # spec-id). Partition-value pruning is only sound against files of the
+    # CURRENT spec — a file written before evolve_partition_spec has stale
+    # (or same-named but differently-derived, e.g. rebucketed) partition
+    # values and must be treated as may-match. Column stats above stay valid
+    # across evolution regardless.
+    spec_id: int = 0
 
     def to_json(self) -> dict:
         d = {"path": self.path, "partition": self.partition, "rows": self.rows}
         if self.stats:
             d["stats"] = self.stats
+        if self.spec_id:
+            d["spec_id"] = self.spec_id
         return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["partition"], d["rows"], d.get("stats"))
+        return DataFile(
+            d["path"], d["partition"], d["rows"], d.get("stats"), d.get("spec_id", 0)
+        )
 
 
 # ------------------------------------------------------- data skipping stats
@@ -250,12 +261,14 @@ class Commit:
         properties: dict | None = None,
         manifests: list[ManifestRef] | None = None,
         table_path: str | None = None,
+        spec_id: int = 0,
     ):
         if files is None and manifests is None:
             raise ValueError("Commit needs files or manifests")
         self.version = version
         self.schema_json = schema_json
         self.partition_spec = partition_spec
+        self.spec_id = spec_id
         self.epoch = epoch
         self.metrics = metrics
         self.parent = parent
@@ -288,6 +301,7 @@ class Commit:
             "version": self.version,
             "schema_json": self.schema_json,
             "partition_spec": self.partition_spec,
+            "spec_id": self.spec_id,
             "epoch": self.epoch,
             "metrics": self.metrics,
             "parent": self.parent,
@@ -318,6 +332,7 @@ class Commit:
                 else None
             ),
             table_path=table_path,
+            spec_id=d.get("spec_id", 0),
         )
 
 
@@ -408,6 +423,10 @@ class LakeTable:
         return spec_from_json(self._commit.partition_spec)
 
     @property
+    def spec_id(self) -> int:
+        return self._commit.spec_id
+
+    @property
     def files(self) -> list[DataFile]:
         return list(self._commit.files)
 
@@ -474,7 +493,13 @@ class LakeTable:
         else:
             sel = list(files)
         if partition_filter is not None:
-            sel = [f for f in sel if partition_filter(f.partition)]
+            # partition-value pruning is only sound against files laid out by
+            # the CURRENT spec; pre-evolution files (older spec_id) have stale
+            # partition values — possibly same-named but differently derived
+            # (rebucketing) — so they always survive the filter. Column-stats
+            # `where` skipping below is layout-independent and still applies.
+            cur = self._commit.spec_id
+            sel = [f for f in sel if f.spec_id != cur or partition_filter(f.partition)]
         if where:
             sel = [f for f in sel if file_may_match(f, where)]
         schema = self.schema
@@ -679,7 +704,11 @@ class LakeTable:
                     else:
                         agg[name] = [mn, mx]
             return DataFile(
-                path=rel, partition=partition, rows=md.num_rows, stats=agg or None
+                path=rel,
+                partition=partition,
+                rows=md.num_rows,
+                stats=agg or None,
+                spec_id=self._commit.spec_id,
             )
 
         with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
@@ -693,6 +722,7 @@ class LakeTable:
         epoch: dict | None = None,
         metrics: dict | None = None,
         max_retries: int = 10,
+        new_partition_spec: list[PartitionField] | None = None,
     ) -> Commit:
         """Publish a new version. Multi-writer safe via optimistic
         concurrency (the reference runs many engines against one destination,
@@ -737,10 +767,16 @@ class LakeTable:
                 for r in small:
                     rewrite.extend(_load_manifest(self.path, r.path))
             manifests = reused + _write_manifests(self.path, rewrite + add)
+            if new_partition_spec is not None:
+                part_spec_json = [p.to_json() for p in new_partition_spec]
+                spec_id = base.spec_id + 1
+            else:
+                part_spec_json, spec_id = base.partition_spec, base.spec_id
             c = Commit(
                 version=base.version + 1,
                 schema_json=schema_json,
-                partition_spec=base.partition_spec,
+                partition_spec=part_spec_json,
+                spec_id=spec_id,
                 manifests=manifests,
                 epoch=epoch,
                 metrics=metrics,
@@ -824,6 +860,32 @@ class LakeTable:
         if not added:
             return None
         return StructType(current.fields + [f for f in added])
+
+    def evolve_partition_spec(self, new_spec: list[PartitionField]) -> Commit:
+        """Change the table's partition layout going forward — Iceberg
+        partition-spec evolution, the operation that makes repartitioning a
+        100 TB table unnecessary: this is a METADATA-ONLY commit (no file is
+        touched). Existing files keep their old layout and are stamped with
+        their original spec_id; every pruning path treats them as may-match
+        (merge bucket hints, read(partition_filter)), so correctness is
+        immediate and pruning on old data degrades gracefully instead of
+        silently mis-pruning. New writes lay out under the new spec.
+
+        Run lake.maintenance.migrate_layout to rewrite old-spec files into
+        the current layout (incrementally, partition by partition) and
+        restore full pruning on historical data.
+
+        Typical uses: widen bucket(conv_id) as key cardinality grows
+        (bucket(8)→bucket(64)), or add/drop a time dimension.
+        """
+        return self.commit(
+            [],
+            new_partition_spec=new_spec,
+            metrics={
+                "operation": "evolve_partition_spec",
+                "spec": [p.to_json() for p in new_spec],
+            },
+        )
 
     # ------------------------------------------------------------ utilities
     def append(self, df: DataFrame, epoch: dict | None = None, metrics: dict | None = None) -> Commit:

@@ -17,6 +17,10 @@ happens inside foreachBatch (bounded by batch size, no unbounded state), and
 the watermark is used only for the optional windowed metrics stream. This is
 a deliberate semantic choice mirroring the reference: conflict resolution at
 apply time (EtlDatabaseObject.java:614-726), not at ingest time.
+
+The one ingest-time dedupe that IS sound: suppressing exact redeliveries by
+event identity (lsn) via ``dropDuplicatesWithinWatermark`` — see
+``suppress_redelivery``.
 """
 
 from __future__ import annotations
@@ -44,6 +48,7 @@ class StreamingCdcRunner:
         mode: str = "cow",
         compact_every: int | None = 8,
         policy=None,
+        suppress_redelivery: str | None = None,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -64,7 +69,34 @@ class StreamingCdcRunner:
         if mode == "mor" and policy is not None and not policy.is_default:
             raise ValueError("explicit conflict policies require mode='cow'")
         self.policy = policy
+        # At-least-once sources redeliver the SAME event (same lsn). The lsn
+        # guard already makes redeliveries no-ops at apply time, but each one
+        # still costs a merge join. suppress_redelivery (a watermark delay,
+        # e.g. "10 minutes") drops exact duplicates by lsn at ingest with
+        # dropDuplicatesWithinWatermark — state bounded by the delay, unlike
+        # plain dropDuplicates. This is safe precisely because lsn identifies
+        # the EVENT (latest-wins per key still happens at merge); keying the
+        # suppression by conv/turn instead would wrongly drop newer versions.
+        # SIZE IT to cover the source's max EVENT-TIME lateness, not just the
+        # redelivery spacing: Spark drops any event older than the watermark
+        # here, so a delay below the lateness horizon silently loses genuine
+        # late events that the merge's lsn guard would have handled. When the
+        # horizon is unknown, leave this off — the merge fence alone is
+        # always correct, just costlier per redelivery.
+        self.suppress_redelivery = suppress_redelivery
         self.batch_results: list = []
+
+    def _reader(self) -> DataFrame:
+        reader = (
+            self.spark.readStream.schema(self.feed_schema)
+            .option("maxFilesPerTrigger", self.max_files_per_trigger)
+            .parquet(self.feed_dir)
+        )
+        if self.suppress_redelivery is not None:
+            reader = reader.withWatermark(
+                "ts", self.suppress_redelivery
+            ).dropDuplicatesWithinWatermark(["lsn"])
+        return reader
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
         table = LakeTable(batch_df.sparkSession, self.table_path)
@@ -129,12 +161,7 @@ class StreamingCdcRunner:
         processing-time trigger — the deployment shape; None triggers as
         fast as micro-batches complete. Rate limiting is maxFilesPerTrigger
         (file source); a real binlog source swaps in maxOffsetsPerTrigger."""
-        reader = (
-            self.spark.readStream.schema(self.feed_schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.feed_dir)
-        )
-        writer = reader.writeStream.foreachBatch(self._apply_batch).option(
+        writer = self._reader().writeStream.foreachBatch(self._apply_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )
         if processing_time is not None:
@@ -145,13 +172,8 @@ class StreamingCdcRunner:
         """Process everything currently in the feed directory and stop —
         the batch-bounded trigger used by tests and replay jobs. A live
         deployment uses the same query via ``start()``."""
-        reader = (
-            self.spark.readStream.schema(self.feed_schema)
-            .option("maxFilesPerTrigger", self.max_files_per_trigger)
-            .parquet(self.feed_dir)
-        )
         q = (
-            reader.writeStream.foreachBatch(self._apply_batch)
+            self._reader().writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)
             .trigger(availableNow=True)
             .start()

@@ -204,3 +204,40 @@ def test_live_trigger_and_progress_ledger(spark, tmp_path, feed_dir):
     assert rows and all("batch_id" in r and "num_input_rows" in r for r in rows)
     assert sum(r["num_input_rows"] for r in rows) > 0
     assert any(r["duration_ms"] for r in rows)
+
+
+def test_suppress_redelivery_dedupes_by_lsn(spark, tmp_path, feed_dir):
+    """At-least-once source: every feed file delivered twice. With
+    suppress_redelivery the duplicates die at ingest (state bounded by the
+    watermark); final table state is unchanged either way — the lsn fence
+    would also have absorbed them, just at merge cost."""
+    dup_dir = str(tmp_path / "dupfeed")
+    os.makedirs(dup_dir)
+    for i, f in enumerate(
+        sorted(glob.glob(os.path.join(feed_dir, "**", "*.parquet"), recursive=True))
+    ):
+        shutil.copy(f, os.path.join(dup_dir, f"f{i:04d}a.parquet"))
+        shutil.copy(f, os.path.join(dup_dir, f"f{i:04d}b.parquet"))
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), [days("ts"), bucket(8, "conv_id")]
+    )
+    schema = event_schema(False)
+    from pyspark.sql.types import LongType, StructField
+
+    schema = schema.add(StructField("delivery_seq", LongType()))
+    runner = StreamingCdcRunner(
+        spark,
+        dup_dir,
+        schema,
+        t.path,
+        str(tmp_path / "ck"),
+        max_files_per_trigger=4,
+        # must exceed the feed's event-time lateness horizon (the generator
+        # plants events up to late_by_seconds=1 day in the past) or genuine
+        # late events are dropped with the duplicates — see runner docstring
+        suppress_redelivery="2 days",
+    )
+    runner.run_available_now()
+    feed_pd = spark.read.parquet(feed_dir).drop("delivery_seq", "__batch").toPandas()
+    assert_state_matches(t.refresh(), feed_pd, ["role", "text", "tool", "ts"])
