@@ -394,8 +394,21 @@ def main() -> None:
 
     # headline absolute throughput on the full machine, both modes
     head_events = int(os.environ.get("SPARK_GRAFT_HEAD_EVENTS", str(max(n_events, 16_000_000))))
-    head = run_level(cpus, head_events, epochs, mode="mor")
-    head_cow = run_level(cpus, head_events, 2, mode="cow")
+    # median of N reps, same honesty rule as soak/scaling — a single sample
+    # on this shared host swung 3.7× between rounds (co-tenant bursts)
+    head_reps = int(os.environ.get("SPARK_GRAFT_HEAD_REPS", "3"))
+
+    def _median_level(cores, n_ev, eps, mode):
+        runs = sorted(
+            (run_level(cores, n_ev, eps, mode=mode) for _ in range(head_reps)),
+            key=lambda s: s["events_per_sec"],
+        )
+        med = runs[len(runs) // 2]
+        med["all_reps_events_per_sec"] = [s["events_per_sec"] for s in runs]
+        return med
+
+    head = _median_level(cpus, head_events, epochs, "mor")
+    head_cow = _median_level(cpus, head_events, 2, "cow")
 
     # sustained soak: 3× the headline events in bigger epochs — shows fixed
     # per-epoch cost amortization and compaction over a growing table. Needs

@@ -112,6 +112,60 @@ def doc_fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+# Rabin-Karp rolling min-hash parameters. B/P sized so every intermediate
+# stays inside int64 on BOTH engines (h < P ~ 2^31, |h - c·B^{k-1}|·B < 2^60)
+# — the same portability discipline as the md5-derived codes in dedup.py.
+RK_WINDOW = 8
+RK_BASE = 257
+RK_P = (1 << 31) - 1
+_RK_BK1 = pow(RK_BASE, RK_WINDOW - 1, RK_P)
+_M31 = 1 << 31
+
+
+def with_rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", out_col: str = "rk_fingerprint"
+) -> DataFrame:
+    """Add the minimum Rabin-Karp hash over every ``RK_WINDOW``-char window —
+    a winnowing-style content fingerprint (stable under small appends) at
+    O(1) arithmetic per character, vs one md5 digest per character position
+    for the md5-min-shingle variant (digest setup dominates there).
+
+    Two projections, zero shuffles: the char-code array is materialized ONCE
+    per row (``split`` + ``transform``) so the fold's three references to it
+    are O(1) array reads, then a single ``aggregate`` fold carries a
+    (hash, min) accumulator packed into one BIGINT (h·2³¹ + m); the per-step
+    hash binds once via a 1-element ``transform`` (poor man's let). Texts
+    shorter than the window hash their full content. The identical
+    arithmetic runs in the DuckDB oracle via ``list_reduce``
+    (plans/ops_queries.py) — same portability discipline as dedup.py's
+    md5-derived codes.
+    """
+    k, b, p, bk1, m31 = RK_WINDOW, RK_BASE, RK_P, _RK_BK1, _M31
+    m0 = m31 - 1
+    cs = "__rk_cs"
+    hexpr = (
+        f"pmod(CASE WHEN i <= {k} THEN (acc div {m31}) * {b} + {cs}[i-1] "
+        f"ELSE ((acc div {m31}) - cast({cs}[i-1-{k}] as bigint) * {bk1}) * {b} + {cs}[i-1] "
+        f"END, {p})"
+    )
+    fold = f"""
+    aggregate(
+      sequence(1, size({cs})),
+      cast({m0} as bigint),
+      (acc, i) -> transform(array({hexpr}),
+          hh -> hh * cast({m31} as bigint)
+                + least(acc % {m31},
+                        CASE WHEN i >= {k} OR i = size({cs}) THEN hh
+                             ELSE {m0} END))[0]
+    ) % {m31}
+    """
+    return (
+        df.withColumn(cs, F.expr(f"transform(split(`{text_col}`, ''), ch -> ascii(ch))"))
+        .withColumn(out_col, F.expr(fold))
+        .drop(cs)
+    )
+
+
 # PII patterns chosen to behave identically under Java regex (Spark) and
 # RE2 (DuckDB oracle): no backrefs, no lookaround. Order matters — emails
 # are redacted before the bare-IP pattern could eat a dotted hostname.

@@ -193,31 +193,66 @@ SHINGLE = 8
 
 
 def doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
-    """Document fingerprints: an exact md5 of the text plus a rolling-window
-    fingerprint — the minimum md5 over every 8-char shingle (winnowing-style;
-    stable under small appends, unlike the whole-document hash). The shingle
-    loop is a higher-order ``transform`` over a ``sequence`` — generated and
-    reduced JVM-side per row, nothing materialized."""
+    """Document fingerprints: an exact md5 of the text plus TWO
+    rolling-window fingerprints (winnowing-style; stable under small
+    appends, unlike the whole-document hash):
+
+    - ``min_shingle_md5`` — minimum md5 over every 8-char shingle; one
+      digest per character position (higher-order ``transform`` over a
+      ``sequence``, JVM-side, nothing materialized);
+    - ``rk_fingerprint`` — minimum Rabin-Karp hash over the same windows at
+      O(1) arithmetic per character (functions/text.with_rolling_fingerprint)
+      — the variant to use when fingerprinting is a hot pass over 100 TB;
+      md5-min stays as the collision-hardened cross-system form.
+    """
+    from ..functions.text import with_rolling_fingerprint
+
     d = t(spark, sf, "documents")
-    return d.select(
+    base = d.select(
         "doc_id",
+        "text",
         F.md5(F.col("text").cast("binary")).alias("full_md5"),
         F.expr(
             f"array_min(transform(sequence(1, greatest(char_length(text) - {SHINGLE - 1}, 1)),"
             f" i -> md5(cast(substring(text, i, {SHINGLE}) as binary))))"
         ).alias("min_shingle_md5"),
     )
+    return with_rolling_fingerprint(base, "text", "rk_fingerprint").drop("text")
 
 
-DOC_FINGERPRINTS_SQL = f"""
+def _doc_fingerprints_sql() -> str:
+    from ..functions.text import _M31, _RK_BK1, RK_BASE, RK_P, RK_WINDOW
+
+    k, b, p, bk1, m31 = RK_WINDOW, RK_BASE, RK_P, _RK_BK1, _M31
+    m0 = m31 - 1
+    hexpr = (
+        f"(((CASE WHEN i <= {k} THEN (acc // {m31}) * {b} + cs[i] "
+        f"ELSE ((acc // {m31}) - CAST(cs[i - {k}] AS BIGINT) * {bk1}) * {b} + cs[i] "
+        f"END) % {p}) + {p}) % {p}"
+    )
+    return f"""
+WITH c AS (
+  SELECT doc_id, text,
+         list_transform(string_split(text, ''), ch -> unicode(ch)) AS cs
+  FROM documents)
 SELECT doc_id,
        md5(text) AS full_md5,
        list_aggregate(
          [md5(substr(text, i, {SHINGLE}))
           for i in range(1, greatest(len(text) - {SHINGLE - 1}, 1) + 1)],
-         'min') AS min_shingle_md5
-FROM documents
+         'min') AS min_shingle_md5,
+       list_reduce(
+         [CAST({m0} AS BIGINT)] || range(1, len(cs) + 1),
+         (acc, i) -> ({hexpr}) * {m31}
+                     + least(acc % {m31},
+                             CASE WHEN i >= {k} OR i = len(cs) THEN ({hexpr})
+                                  ELSE {m0} END)
+       ) % {m31} AS rk_fingerprint
+FROM c
 """
+
+
+DOC_FINGERPRINTS_SQL = _doc_fingerprints_sql()
 
 
 # --------------------------------------------- embedding near-dup detection

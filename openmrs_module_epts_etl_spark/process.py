@@ -41,7 +41,7 @@ from pyspark.sql import SparkSession
 from .config import EtlItemConfig, run_etl_item
 
 
-OPERATION_TYPES = ("etl", "export", "transport", "load")
+OPERATION_TYPES = ("etl", "export", "transport", "load", "maintenance")
 
 
 @dataclass
@@ -61,6 +61,10 @@ class OperationConfig:
                       through the fenced merge (options: ``importDir``,
                       ``tablePath``, ``key``, ``archiveDir``,
                       ``withEventColumns``)
+    - ``maintenance`` — scheduled lake housekeeping: ordered ``actions``
+                      from {compact, vacuum_tombstones, expire_snapshots,
+                      migrate_layout, remove_orphans, rewrite_clustered}
+                      against ``tablePath`` (see ``_run_maintenance``)
     """
 
     name: str
@@ -167,6 +171,8 @@ class ProcessRunner:
                     results.append(("transport", self._run_transport(op)))
                 elif op.op_type == "load":
                     results.append(("load", self._run_load(op)))
+                elif op.op_type == "maintenance":
+                    results.append(("maintenance", self._run_maintenance(op)))
                 elif op.processing_mode == "parallel" and len(op.items) > 1:
                     with ThreadPoolExecutor(max_workers=op.max_item_threads) as ex:
                         futures = [ex.submit(run_item, item) for item in op.items]
@@ -226,6 +232,57 @@ class ProcessRunner:
         if os.path.exists(os.path.join(out_dir, tag)):
             return {"skipped": True, "batch": tag}
         return json_export(build_item_frame(self.spark, item, self.params), out_dir, tag)
+
+    def _run_maintenance(self, op: OperationConfig) -> dict:
+        """Scheduled lake maintenance as a chained operation (the analog of
+        the reference's post-ETL housekeeping processes — ledger pruning,
+        DATABASE_PREPARATION-style DDL passes). ``options``:
+
+        - ``tablePath`` (required) and ``actions``: ordered subset of
+          {compact, vacuum_tombstones, expire_snapshots, migrate_layout,
+          remove_orphans, rewrite_clustered};
+        - per-action kwargs under the action's name, camelCase keys
+          converted verbatim (e.g. ``{"rewrite_clustered": {"columns":
+          ["conv_id"]}}``, ``{"vacuum_tombstones": {"min_lsn_keep": N}}``).
+
+        Each action is fenced/idempotent at the table layer (OCC commits,
+        no-op when nothing qualifies), so re-running the operation after a
+        crash is safe — same property as every other op_type here."""
+        from .cdc.merge import compact, vacuum_tombstones
+        from .lake import (
+            LakeTable,
+            expire_snapshots,
+            migrate_layout,
+            remove_orphan_files,
+            rewrite_clustered,
+        )
+
+        o = op.options
+        table = LakeTable(self.spark, o["tablePath"])
+        runners = {
+            "compact": lambda kw: {"committed": compact(table, **kw) is not None},
+            "vacuum_tombstones": lambda kw: {
+                "committed": vacuum_tombstones(table, **kw) is not None
+            },
+            "expire_snapshots": lambda kw: expire_snapshots(table, **kw),
+            "migrate_layout": lambda kw: migrate_layout(table, **kw),
+            "remove_orphans": lambda kw: {
+                "removed": remove_orphan_files(table, **kw)
+            },
+            "rewrite_clustered": lambda kw: rewrite_clustered(table, **kw),
+        }
+        out: dict = {}
+        for action in o.get("actions", []):
+            if action not in runners:
+                raise ValueError(
+                    f"unknown maintenance action {action!r}; use {sorted(runners)}"
+                )
+            if self.stop_requested():
+                out[action] = {"stopped": True}
+                break
+            out[action] = runners[action](o.get(action, {}))
+            table.refresh()
+        return out
 
     def _run_transport(self, op: OperationConfig) -> dict:
         from .sources.files import transport_batches
