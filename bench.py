@@ -301,6 +301,17 @@ HEADLINE = [
     "doc_fingerprints",
     "embedding_near_dup_pairs",
     "reconciliation_report",
+    # round-2 operators: transcript payload, corpus hygiene, SCD2, composed
+    # near-dup — measured so the per-round artifact tracks their cost too
+    "conv_reassembly",
+    "conv_stats",
+    "dup_assistant_turns",
+    "decontamination",
+    "pii_redaction",
+    "doc_repetition",
+    "near_dup_jaccard_pairs",
+    "user_state_scd2",
+    "ann_ivf_topk",
 ]
 
 
