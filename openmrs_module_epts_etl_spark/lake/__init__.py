@@ -1,5 +1,10 @@
 from .clustering import rewrite_clustered
-from .maintenance import expire_snapshots, migrate_layout, remove_orphan_files
+from .maintenance import (
+    expire_snapshots,
+    migrate_layout,
+    remove_orphan_files,
+    rollback_to_version,
+)
 from .partitioning import PartitionField, bucket, days, identity
 from .table import LakeTable, file_may_match
 
@@ -14,4 +19,5 @@ __all__ = [
     "expire_snapshots",
     "migrate_layout",
     "remove_orphan_files",
+    "rollback_to_version",
 ]

@@ -32,7 +32,7 @@ import os
 import time
 import uuid
 
-from .table import _COMMITS, _DATA, LakeTable
+from .table import _COMMITS, _DATA, LakeTable, _apply_commit_fences
 
 _FENCE_SIDECAR = "_expired_fences.json"
 
@@ -78,8 +78,10 @@ def expire_snapshots(table: LakeTable, keep_last: int = 10) -> dict:
     for c in expired:
         c.files
     for c in expired:
-        if c.epoch and c.epoch.get("fence_key") is not None:
-            fences.add((c.epoch["fence_key"], c.epoch.get("epoch_id")))
+        # same fold as epoch_already_applied, in version order — an expired
+        # rollback commit's fence edits must survive into the sidecar exactly
+        # as they would have replayed from the live log
+        _apply_commit_fences(fences, c)
         for f in c.files:
             if f.path in live_paths:
                 continue
@@ -154,6 +156,90 @@ def _prune_empty_dirs(root: str) -> None:
                 os.rmdir(dirpath)
             except OSError:
                 pass
+
+
+def rollback_to_version(table: LakeTable, version: int) -> "Commit":
+    """Restore the table to the state of an earlier (non-expired) snapshot as
+    a NEW commit — the Iceberg ``rollback_to_snapshot`` analog, and the CDC
+    operator's bad-batch escape hatch: roll the table back, fix the feed or
+    transform, and replay.
+
+    Metadata-only: no data file is read, written, or deleted — the commit's
+    file list simply becomes the target snapshot's (old files are still on
+    disk because a live snapshot referenced them and GC honors the whole
+    retained log), and schema / partition spec revert with it.
+
+    Exactly-once interplay — the part a naive rollback gets wrong: the
+    undone epochs' (fence_key, epoch_id) fences must stop fencing, or the
+    replay would skip them and leave the table stale forever. The rollback
+    commit therefore records ``invalidated_fences`` = fences applied after
+    the target version, and ``revalidated_fences`` = fences an intermediate
+    rollback had dropped that were live at the target version (rolling back
+    a rollback restores them). ``epoch_already_applied`` replays these edits
+    in log order, and snapshot expiration folds them into the fence sidecar
+    the same way.
+
+    The pipeline's own checkpoint still points past the undone epochs — replay
+    with a fresh ``checkpoint_dir`` (keeping ``fence_key``): un-rolled-back
+    epochs stay fenced no-ops, rolled-back ones re-apply. Downstream chained
+    pipelines (mor.table_changes_as_feed) see the restored files as changes of
+    the rollback commit — the rollback IS a state change to them.
+
+    Returns the new Commit.
+    """
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    from .partitioning import from_json as _spec_from_json
+
+    table.refresh()
+    cur = table._commit
+    if version >= cur.version:
+        raise ValueError(f"rollback target v{version} is not before current v{cur.version}")
+    target = table._load_commit(version)  # raises if expired/absent
+    target_files = {f.path: f for f in target.files}
+    missing = [p for p in target_files if not os.path.exists(os.path.join(table.path, p))]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot roll back to v{version}: {len(missing)} of its data files "
+            f"no longer exist (e.g. {missing[0]})"
+        )
+
+    # fence set at the target vs now — replayed with identical semantics to
+    # epoch_already_applied so nested rollbacks resolve correctly
+    at_target: set[tuple] = set(load_expired_fences(table))
+    at_head: set[tuple] = set(at_target)
+    for v in table._versions():
+        c = table._load_commit(v)
+        if v <= version:
+            _apply_commit_fences(at_target, c)
+        _apply_commit_fences(at_head, c)
+    invalidated = sorted(at_head - at_target)
+    revalidated = sorted(at_target - at_head)
+
+    cur_paths = {f.path for f in cur.files}
+    add = [f for f in target.files if f.path not in cur_paths]
+    remove = cur_paths - set(target_files)
+    spec_kw = {}
+    if target.partition_spec != cur.partition_spec:
+        spec_kw["new_partition_spec"] = _spec_from_json(target.partition_spec)
+    commit = table.commit(
+        add,
+        remove_paths=remove,
+        new_schema=StructType.fromJson(_json.loads(target.schema_json)),
+        metrics={
+            "operation": "rollback",
+            "to_version": version,
+            "invalidated_fences": [list(e) for e in invalidated],
+            "revalidated_fences": [list(e) for e in revalidated],
+            "restored_files": len(target_files),
+            "removed_files": len(remove),
+        },
+        **spec_kw,
+    )
+    table._fences = None  # cache now stale: invalidated fences must drop
+    return commit
 
 
 def migrate_layout(table: LakeTable, max_files: int | None = None) -> dict:

@@ -157,6 +157,23 @@ def _stats_may_match(stats: dict | None, where: list[tuple[str, str, object]]) -
     return True
 
 
+def _apply_commit_fences(fences: set, c: "Commit") -> None:
+    """Fold one commit into an accumulating fence set, in log order: a
+    rollback commit drops the fences it invalidates and restores the ones it
+    revalidates; an epoch commit adds its fence. Shared by the live-history
+    scan (epoch_already_applied) and snapshot expiration (which replays the
+    same semantics into the sidecar)."""
+    m = c.metrics or {}
+    if m.get("operation") == "rollback":
+        for e in m.get("invalidated_fences") or []:
+            fences.discard((e[0], e[1]))
+        for e in m.get("revalidated_fences") or []:
+            fences.add((e[0], e[1]))
+    e = c.epoch
+    if e and e.get("fence_key") is not None:
+        fences.add((e["fence_key"], e.get("epoch_id")))
+
+
 def file_may_match(f: DataFile, where: list[tuple[str, str, object]]) -> bool:
     return _stats_may_match(f.stats, where)
 
@@ -437,7 +454,14 @@ class LakeTable:
         """Exactly-once fence: True iff some commit already recorded this
         epoch. The fence set is cached in-memory and extended on commit, so a
         long-running pipeline pays the full commit-log scan once, not per
-        epoch (the log itself stays the durable source of truth)."""
+        epoch (the log itself stays the durable source of truth).
+
+        The log is replayed in version order because rollback commits
+        (maintenance.rollback_to_version) EDIT the fence set: they drop the
+        fences of the commits they undo (so a replay re-applies those epochs
+        onto the restored state) and restore fences an intermediate rollback
+        had dropped. Order matters — a fence can be applied, invalidated by a
+        rollback, then re-applied by the replay."""
         if self._fences is None:
             from .maintenance import load_expired_fences
 
@@ -445,9 +469,7 @@ class LakeTable:
             # epoch replayed after expire_snapshots must still be a no-op
             self._fences = set(load_expired_fences(self))
             for c in self.history():
-                e = c.epoch
-                if e and e.get("fence_key") is not None:
-                    self._fences.add((e["fence_key"], e.get("epoch_id")))
+                _apply_commit_fences(self._fences, c)
         return (fence_key, epoch_id) in self._fences
 
     # ----------------------------------------------------------------- read
