@@ -73,10 +73,39 @@ def dedupe_latest(
     winners = events.groupBy(*key).agg(F.max(order_col).alias(order_col))
     out = _join_back(events, winners, key, order_col)
     if tie_break:
-        out = out.withColumn("__h", F.xxhash64(*[F.col(c) for c in cols]))
+        # map-typed columns are unhashable/un-distinct-able in Spark — hash
+        # their to_json image instead (per-row deterministic: the map's entry
+        # order is a function of how the row was computed, which is the same
+        # on both sides of the self-join), and collapse byte-identical
+        # duplicates by (key, order, hash) rather than a full-row distinct,
+        # which would also choke on maps. Hash collisions conflating two
+        # genuinely different tie rows are 2^-64 — the same exposure any
+        # hash-based shuffle already carries.
+        def _hashable(c: str):
+            return (
+                F.to_json(F.col(c)) if _has_map(events.schema[c].dataType) else F.col(c)
+            )
+
+        out = out.withColumn("__h", F.xxhash64(*[_hashable(c) for c in cols]))
         ties = out.groupBy(*key, order_col).agg(F.min("__h").alias("__h"))
-        out = _join_back(out, ties, [*key, order_col], "__h").select(*cols).distinct()
+        out = (
+            _join_back(out, ties, [*key, order_col], "__h")
+            .dropDuplicates([*key, order_col, "__h"])
+            .select(*cols)
+        )
     return out.select(*cols)
+
+
+def _has_map(dt) -> bool:
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return True
+    if isinstance(dt, ArrayType):
+        return _has_map(dt.elementType)
+    if isinstance(dt, StructType):
+        return any(_has_map(f.dataType) for f in dt.fields)
+    return False
 
 
 def _join_back(events: DataFrame, winners: DataFrame, key: list[str], order_col: str) -> DataFrame:

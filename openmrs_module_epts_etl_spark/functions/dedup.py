@@ -199,7 +199,9 @@ def near_dup_jaccard(
     cost is bounded by candidate volume. LSH false positives with zero
     shared shingles drop out of the inner join — correct for any
     min_jaccard > 0. Returns (id_a, id_b, jaccard)."""
-    sh = word_shingles(df, id_col, text_col, n).persist()
+    from ._cache import cycle_persist
+
+    sh = cycle_persist("near_dup_jaccard.shingles", word_shingles(df, id_col, text_col, n))
     sigs = minhash_signatures(sh, num_hashes)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))

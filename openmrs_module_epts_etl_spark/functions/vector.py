@@ -138,7 +138,9 @@ def lsh_near_dup_pairs(
         sig(F.col(vec_col)).alias("sig"),
     )
     # norms are per-row data: once per vector, not per candidate pair
-    e = e.withColumn("nv", norm(F.col("v"))).persist()
+    from ._cache import cycle_persist
+
+    e = cycle_persist("lsh_near_dup_pairs.vectors", e.withColumn("nv", norm(F.col("v"))))
     # the banded self-join carries ONLY (id, band, bucket) — 24-byte rows;
     # vectors re-attach to the (far smaller) distinct candidate set after.
     # distinct on the full (id_a, id_b) projection is a HashAggregate with

@@ -101,9 +101,12 @@ def lookup_join(
     for k in keys:
         on = on & (F.col(f"__f.{k}") == F.col(f"__d.{k}"))
     joined = f.join(d, on, "left")
-    # required ⇒ drop only rows that MATCH the condition but found no parent
+    # required ⇒ drop only rows that MATCH the condition but found no parent.
+    # A NULL condition field does NOT match (SQL three-valued logic would
+    # make ~cond NULL and silently drop the row) — coalesce pins it to the
+    # pass-through branch, honoring the "never dropped" contract above.
     if how == "inner":
-        joined = joined.filter(~cond | F.col("__hit").isNotNull())
+        joined = joined.filter(~F.coalesce(cond, F.lit(False)) | F.col("__hit").isNotNull())
     out = joined.select(
         "__f.*", *[f"__d.{c}" for c in dim.columns if c not in keys], "__d.__hit"
     )

@@ -83,9 +83,11 @@ def conversation_stats(
         F.count(F.col(tool_col)).alias("n_tool_calls"),
         F.sum(F.length(F.coalesce(F.col(text_col), F.lit("")))).alias("n_chars"),
         F.max(F.col(ts_col)).alias("last_ts"),
-        (
-            F.unix_micros(F.max(F.col(ts_col)).cast("timestamp_ltz"))
-            - F.unix_micros(F.min(F.col(ts_col)).cast("timestamp_ltz"))
+        # timestamp_diff on the stored values — same tz-proofing as
+        # operators/windows.sessionize: converting through the session
+        # timezone would shift durations spanning a DST transition by ±3600s
+        F.timestamp_diff(
+            "MICROSECOND", F.min(F.col(ts_col)), F.max(F.col(ts_col))
         ).alias("duration_us"),
     )
 

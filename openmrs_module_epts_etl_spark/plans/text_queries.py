@@ -252,56 +252,14 @@ def _simhash_near_dups_sql(n: int = 3, seed: int = 42, max_hamming: int = 3) -> 
     FROM pairs WHERE bit_count(xor(sha, shb)) <= {max_hamming}"""
 
 
-def _lsh_candidates_sql(
+def _lsh_cand_ctes(
     num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4, n: int = 3
 ) -> str:
-    """MinHash-LSH candidate pairs — same signatures as _minhash_sql, same
-    polynomial band buckets as functions.dedup.poly_combine."""
-    mins = ",\n        ".join(
-        f"MIN(({a} * code + {b}) % {MERSENNE_P}) AS h{i}"
-        for a, b, i in minhash_coefficients(num_hashes)
-    )
-
-    def bucket_expr(b: int) -> str:
-        acc = "0"
-        for v in [str(b)] + [f"h{b * rows_per_band + r}" for r in range(rows_per_band)]:
-            acc = f"(({acc}) * {_POLY_M} + {v}) % {MERSENNE_P}"
-        return acc
-
-    stacked = "\n      UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, {bucket_expr(b)} AS bucket FROM sig"
-        for b in range(bands)
-    )
-    return f"""
-    WITH {_shingle_cte_sql(n)},
-    coded AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE_P} AS code
-      FROM sh),
-    sig AS (
-      SELECT doc_id,
-        {mins}
-      FROM coded GROUP BY doc_id),
-    stacked AS (
-      {stacked})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM stacked a JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket
-    WHERE a.doc_id < b.doc_id"""
-
-
-def near_dup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
-    docs = t(spark, sf, "documents")
-    return near_dup_jaccard(
-        docs, "doc_id", "text", n=3, min_jaccard=0.5,
-        num_hashes=16, bands=4, rows_per_band=4,
-    )
-
-
-def _near_dup_jaccard_sql(
-    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4,
-    n: int = 3, min_j: float = 0.5,
-) -> str:
-    """LSH-candidates CTE (identical to _lsh_candidates_sql) + exact Jaccard
-    verification restricted to those candidates."""
+    """WITH chain ending in ``cand(id_a, id_b)`` — the MinHash signatures of
+    _minhash_sql plus the polynomial band buckets of
+    functions.dedup.poly_combine, defined ONCE and shared by
+    _lsh_candidates_sql and _near_dup_jaccard_sql so the banding arithmetic
+    cannot silently diverge between the two oracles."""
     mins = ",\n        ".join(
         f"MIN(({a} * code + {b}) % {MERSENNE_P}) AS h{i}"
         for a, b, i in minhash_coefficients(num_hashes)
@@ -331,7 +289,32 @@ def _near_dup_jaccard_sql(
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM stacked a JOIN stacked b ON a.band = b.band AND a.bucket = b.bucket
-      WHERE a.doc_id < b.doc_id),
+      WHERE a.doc_id < b.doc_id)"""
+
+
+def _lsh_candidates_sql(
+    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4, n: int = 3
+) -> str:
+    return _lsh_cand_ctes(num_hashes, bands, rows_per_band, n) + (
+        "\n    SELECT id_a, id_b FROM cand"
+    )
+
+
+def near_dup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = t(spark, sf, "documents")
+    return near_dup_jaccard(
+        docs, "doc_id", "text", n=3, min_jaccard=0.5,
+        num_hashes=16, bands=4, rows_per_band=4,
+    )
+
+
+def _near_dup_jaccard_sql(
+    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4,
+    n: int = 3, min_j: float = 0.5,
+) -> str:
+    """Shared LSH-candidates CTE chain (_lsh_cand_ctes) + exact Jaccard
+    verification restricted to those candidates."""
+    return _lsh_cand_ctes(num_hashes, bands, rows_per_band, n) + f""",
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     shared AS (
       SELECT c.id_a, c.id_b, COUNT(*) AS shared

@@ -70,7 +70,7 @@ WITH tr AS (
 ), tt AS (
   SELECT conv_id, turn_idx,
          CASE WHEN turn_idx % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-         event_type || ' ' || props AS text,
+         concat_ws(' ', event_type, props) AS text,  -- null-skipping, like Spark's concat_ws
          CASE WHEN event_type IN ('purchase', 'signup') THEN event_type END AS tool,
          ts
   FROM tr
@@ -89,7 +89,8 @@ CONV_REASSEMBLY_SQL = (
     _DERIVE_SQL
     + """
 SELECT conv_id, COUNT(*) AS n_turns,
-       string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS transcript
+       string_agg(role || ': ' || COALESCE(text, ''), chr(10) ORDER BY turn_idx)
+         AS transcript  -- NULL text renders as '', same as the Spark operator
 FROM tt GROUP BY conv_id
 """
 )

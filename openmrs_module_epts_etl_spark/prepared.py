@@ -161,21 +161,26 @@ def apply_query_source(
     if exprs:
         dim = dim.selectExpr(*exprs)
 
-    if pq.join_pairs:
-        if qs.unique:
-            # The reference's DAO.find returns ONE related record; make the
-            # multi-match case deterministic: keep the first row in the total
-            # order of all payload columns within each key group.
-            payload = [c for c in dim.columns if c not in key_aliases]
-            if payload:
-                w = Window.partitionBy(*key_aliases).orderBy(*[F.asc(c) for c in payload])
-                dim = (
-                    dim.withColumn("__rn", F.row_number().over(w))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn")
-                )
-            else:
-                dim = dim.dropDuplicates(key_aliases)
+    if qs.unique:
+        # The reference's DAO.find returns ONE related record; make the
+        # multi-match case deterministic: keep the first row in the total
+        # order of all payload columns within each key group.
+        payload = [c for c in dim.columns if c not in key_aliases]
+        if payload:
+            w = Window.partitionBy(*key_aliases).orderBy(*[F.asc(c) for c in payload])
+            dim = (
+                dim.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            dim = dim.dropDuplicates(key_aliases)
+    if pq.join_pairs or pq.select_items:
+        # No row-bound params ⇒ the query is UNCORRELATED: the same related
+        # record attaches to every row (the join degenerates to a broadcast
+        # cross join of the one-record dim; `required` still drops all rows
+        # when it returns nothing — the reference's per-row find would have
+        # found nothing for every row too)
         on = F.lit(True)
         for ka, (_, src_field) in zip(key_aliases, pq.join_pairs):
             on = on & (src[src_field] == dim[ka])

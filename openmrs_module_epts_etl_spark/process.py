@@ -322,7 +322,23 @@ class ProcessRunner:
             self.spark, o["importDir"], StructType(fields), ck,
             archive_dir=o.get("archiveDir"),
         )
-        fence = f"{self.process_name}:{op.name}"
+        # Fence namespace is tied to the CHECKPOINT INSTANCE (uuid sidecar
+        # created with the checkpoint), not just the op name: streaming
+        # epoch_ids restart at 0 under a fresh/relocated checkpoint, and a
+        # fixed fence would collide new batches with last run's fences —
+        # silently never applying them. A fresh instance re-merges everything
+        # the source re-reads instead, which the lsn guard makes row-level
+        # idempotent: re-applying is safe, dropping is not.
+        os.makedirs(ck, exist_ok=True)
+        inst_path = os.path.join(ck, "_fence_instance")
+        if not os.path.exists(inst_path):
+            tmp = inst_path + f".tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                fh.write(uuid.uuid4().hex[:16])
+            os.rename(tmp, inst_path)
+        with open(inst_path) as fh:
+            instance = fh.read().strip()
+        fence = f"{self.process_name}:{op.name}:{instance}"
         batches: list[dict] = []
 
         def apply(batch_df, epoch_id: int) -> None:
@@ -347,7 +363,15 @@ class ProcessRunner:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(int(o.get("awaitSeconds", 600)))
+        finished = q.awaitTermination(int(o.get("awaitSeconds", 600)))
+        if not finished:
+            # a load slower than the deadline must surface as FAILED, not be
+            # reported FINISHED with partial batches while the query races on
+            q.stop()
+            raise TimeoutError(
+                f"load {op.name!r} did not finish within "
+                f"{o.get('awaitSeconds', 600)}s ({len(batches)} batches applied)"
+            )
         return {"table": table.path, "batches": batches}
 
 

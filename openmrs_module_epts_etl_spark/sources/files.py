@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,9 +51,15 @@ def json_export(df: DataFrame, out_dir: str, batch_tag: str) -> dict:
     files = sorted(
         f for f in os.listdir(tmp) if f.startswith("part-") and not f.endswith(".crc")
     )
-    # abort-on-empty, like the reference's empty-file check before rename
+    # abort-on-empty, like the reference's empty-file check before rename: an
+    # empty batch is never PUBLISHED (tmp dir removed, manifest returned with
+    # rows=0) — publishing one would wedge transport, which refuses empty
+    # batches, and the tag stays free for a later export that has data
     rows = obs.get["rows"]
     manifest = {"batch": batch_tag, "files": files, "rows": rows}
+    if not rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        return manifest
     with open(os.path.join(tmp, "_minimal.json"), "w") as fh:
         json.dump(manifest, fh)
         fh.flush()
@@ -149,7 +156,13 @@ def transport_batches(export_dir: str, import_dir: str, backup_dir: str | None =
         with open(mpath) as fh:
             manifest = json.load(fh)
         if not manifest.get("rows"):
-            raise ValueError(f"batch {batch} is empty — not transported (manifest {manifest})")
+            # the reference deletes an empty destination file rather than
+            # shipping it; json_export no longer publishes empty batches, so
+            # one here is hand-made/legacy — remove it and keep the loop
+            # alive (raising mid-loop would strand every batch sorting after
+            # it, on this run and every rerun)
+            shutil.rmtree(src, ignore_errors=True)
+            continue
         dst = os.path.join(import_dir, batch)
         if os.path.exists(dst):
             raise FileExistsError(f"batch {batch} already present in import area")
