@@ -86,12 +86,15 @@ def dedupe_latest(
                 F.to_json(F.col(c)) if _has_map(events.schema[c].dataType) else F.col(c)
             )
 
-        out = out.withColumn("__h", F.xxhash64(*[_hashable(c) for c in cols]))
-        ties = out.groupBy(*key, order_col).agg(F.min("__h").alias("__h"))
-        out = (
-            _join_back(out, ties, [*key, order_col], "__h")
-            .dropDuplicates([*key, order_col, "__h"])
-            .select(*cols)
+        # temp hash column name salted against the input's own columns — a
+        # user column literally named "__h" must not be clobbered
+        h = "__h"
+        while h in cols:
+            h += "_"
+        out = out.withColumn(h, F.xxhash64(*[_hashable(c) for c in cols]))
+        ties = out.groupBy(*key, order_col).agg(F.min(h).alias(h))
+        out = _join_back(out, ties, [*key, order_col], h).dropDuplicates(
+            [*key, order_col, h]
         )
     return out.select(*cols)
 

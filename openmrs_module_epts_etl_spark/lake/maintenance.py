@@ -181,9 +181,23 @@ def rollback_to_version(table: LakeTable, version: int) -> "Commit":
 
     The pipeline's own checkpoint still points past the undone epochs — replay
     with a fresh ``checkpoint_dir`` (keeping ``fence_key``): un-rolled-back
-    epochs stay fenced no-ops, rolled-back ones re-apply. Downstream chained
-    pipelines (mor.table_changes_as_feed) see the restored files as changes of
-    the rollback commit — the rollback IS a state change to them.
+    epochs stay fenced no-ops, rolled-back ones re-apply.
+
+    Downstream chained pipelines (mor.table_changes_as_feed) CANNOT be fixed
+    by this operator: a change feed has no way to express "un-apply what I
+    already sent" — restored rows would re-emit with their original lsns and
+    lose the downstream max-lsn contest to the already-applied bad rows. Roll
+    the downstream table back explicitly (to its version from before it
+    consumed the bad epochs), or run a reconciliation pass
+    (operators/reconcile.py) against the restored upstream.
+
+    Concurrency: the commit is attempted WITHOUT the usual OCC rebase
+    (max_retries=0). Rebasing a rollback onto a concurrent epoch commit would
+    silently publish a state that is neither the target version nor current
+    (the racer's files survive, its fence stays valid, and its schema widens
+    ours back). A concurrent commit therefore surfaces as CommitConflict —
+    quiesce writers or simply re-run the rollback, which recomputes every set
+    against the new head.
 
     Returns the new Commit.
     """
@@ -215,15 +229,24 @@ def rollback_to_version(table: LakeTable, version: int) -> "Commit":
         if v <= version:
             _apply_commit_fences(at_target, c)
         _apply_commit_fences(at_head, c)
-    invalidated = sorted(at_head - at_target)
-    revalidated = sorted(at_target - at_head)
+    # epoch_id may legitimately be None (fenced commits without ids), so sort
+    # by a None-safe key — plain sorted() would TypeError on (key, None) vs
+    # (key, 3) exactly when the escape hatch is needed
+    _k = lambda e: (e[0], e[1] is not None, e[1] if e[1] is not None else 0)  # noqa: E731
+    invalidated = sorted(at_head - at_target, key=_k)
+    revalidated = sorted(at_target - at_head, key=_k)
 
     cur_paths = {f.path for f in cur.files}
     add = [f for f in target.files if f.path not in cur_paths]
     remove = cur_paths - set(target_files)
     spec_kw = {}
-    if target.partition_spec != cur.partition_spec:
+    if target.partition_spec != cur.partition_spec or target.spec_id != cur.spec_id:
+        # restore the target's spec WITH its original spec_id: minting a new
+        # id would mark every restored file as old-layout, degrading all
+        # partition pruning and making migrate_layout rewrite the whole
+        # restored table for nothing
         spec_kw["new_partition_spec"] = _spec_from_json(target.partition_spec)
+        spec_kw["new_spec_id"] = target.spec_id
     commit = table.commit(
         add,
         remove_paths=remove,
@@ -236,6 +259,7 @@ def rollback_to_version(table: LakeTable, version: int) -> "Commit":
             "restored_files": len(target_files),
             "removed_files": len(remove),
         },
+        max_retries=0,  # never rebase a rollback — see docstring
         **spec_kw,
     )
     table._fences = None  # cache now stale: invalidated fences must drop

@@ -373,6 +373,7 @@ class LakeTable:
         self.path = os.path.abspath(path)
         self._commit = self._load_commit(version)
         self._fences: set[tuple] | None = None
+        self._fences_at: int = -1  # log head version the fence cache reflects
 
     # ------------------------------------------------------------- creation
     @staticmethod
@@ -461,15 +462,32 @@ class LakeTable:
         fences of the commits they undo (so a replay re-applies those epochs
         onto the restored state) and restore fences an intermediate rollback
         had dropped. Order matters — a fence can be applied, invalidated by a
-        rollback, then re-applied by the replay."""
+        rollback, then re-applied by the replay.
+
+        The cache is refreshed INCREMENTALLY against the log head on every
+        call (one driver-side listdir): a stale cache that merely lacks new
+        fences would be conservative (the re-attempted merge dies on
+        EpochAlreadyApplied at commit), but a concurrent ROLLBACK makes a
+        stale cache unsafe in the other direction — it would keep reporting
+        an invalidated epoch as applied and this handle would silently skip
+        re-applying it forever."""
+        versions = self._versions()
+        head = versions[-1] if versions else -1
         if self._fences is None:
             from .maintenance import load_expired_fences
 
             # fences from expired snapshots survive in the sidecar — an old
             # epoch replayed after expire_snapshots must still be a no-op
             self._fences = set(load_expired_fences(self))
-            for c in self.history():
-                _apply_commit_fences(self._fences, c)
+            self._fences_at = -1
+            for v in versions:
+                _apply_commit_fences(self._fences, self._load_commit(v))
+            self._fences_at = head
+        elif getattr(self, "_fences_at", head) < head:
+            for v in versions:
+                if v > self._fences_at:
+                    _apply_commit_fences(self._fences, self._load_commit(v))
+            self._fences_at = head
         return (fence_key, epoch_id) in self._fences
 
     # ----------------------------------------------------------------- read
@@ -745,6 +763,7 @@ class LakeTable:
         metrics: dict | None = None,
         max_retries: int = 10,
         new_partition_spec: list[PartitionField] | None = None,
+        new_spec_id: int | None = None,
     ) -> Commit:
         """Publish a new version. Multi-writer safe via optimistic
         concurrency (the reference runs many engines against one destination,
@@ -791,7 +810,10 @@ class LakeTable:
             manifests = reused + _write_manifests(self.path, rewrite + add)
             if new_partition_spec is not None:
                 part_spec_json = [p.to_json() for p in new_partition_spec]
-                spec_id = base.spec_id + 1
+                # evolution mints the next id; rollback passes new_spec_id to
+                # RESTORE an earlier spec under its original id so the
+                # restored files stay current-layout for every pruning path
+                spec_id = base.spec_id + 1 if new_spec_id is None else new_spec_id
             else:
                 part_spec_json, spec_id = base.partition_spec, base.spec_id
             c = Commit(

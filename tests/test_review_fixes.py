@@ -54,6 +54,15 @@ def test_latest_per_key_with_map_column(spark):
     assert got["b"] == (1, {"x": "y"})
 
 
+def test_latest_per_key_user_column_named_h(spark):
+    """A user column literally named __h must survive the tie-break hash."""
+    df = spark.createDataFrame(
+        [("a", 1, "keep-me"), ("a", 2, "latest")], "key string, seq long, __h string"
+    )
+    out = latest_per_key(df, ["key"], "seq").collect()
+    assert len(out) == 1 and out[0]["__h"] == "latest"
+
+
 def test_query_source_uncorrelated_attaches_to_every_row(spark, tmp_path):
     """A purely config-bound query has no join keys — the one related record
     must still attach to every source row (the reference's per-row find would

@@ -119,6 +119,55 @@ def test_rollback_fence_edits_survive_expiration(spark, setup):
     assert not results[-1].skipped_epoch
 
 
+def test_rollback_invalidation_reaches_other_live_handles(spark, setup):
+    """A long-lived handle's fence cache must see another handle's rollback —
+    a stale cache would keep skipping the undone epochs forever."""
+    feed, path, tmp = setup
+    _run(spark, feed, path, str(tmp / "ck1"))
+    a = LakeTable(spark, path)
+    assert a.epoch_already_applied("cdc-pipeline", 3)  # cache built on handle A
+
+    rollback_to_version(LakeTable(spark, path), 2)  # handle B
+    assert not a.epoch_already_applied("cdc-pipeline", 3)
+    assert a.epoch_already_applied("cdc-pipeline", 0)
+
+
+def test_rollback_handles_none_epoch_ids(spark, setup):
+    """Fenced commits without epoch ids (epoch_id=None) must not crash the
+    fence-set sort."""
+    feed, path, tmp = setup
+    _run(spark, feed, path, str(tmp / "ck1"), max_epochs=2)
+    t = LakeTable(spark, path)
+    v_mid = t.version
+    # a manual fenced commit with no epoch id, then more epochs
+    t.commit([], epoch={"fence_key": "manual", "epoch_id": None})
+    _run(spark, feed, path, str(tmp / "ck1"))
+    c = rollback_to_version(LakeTable(spark, path), v_mid)
+    inv = {tuple(e) for e in c.metrics["invalidated_fences"]}
+    assert ("manual", None) in inv
+    assert not LakeTable(spark, path).epoch_already_applied("manual", None)
+
+
+def test_rollback_across_spec_evolution_restores_spec_id(spark, setup):
+    """Rolling back across a partition-spec evolution must restore the
+    target's spec UNDER ITS ORIGINAL ID — a freshly minted id would mark
+    every restored file old-layout and defeat all partition pruning."""
+    feed, path, tmp = setup
+    _run(spark, feed, path, str(tmp / "ck1"), max_epochs=2)
+    t = LakeTable(spark, path)
+    v_mid, spec_mid, sid_mid = t.version, t._commit.partition_spec, t.spec_id
+
+    t.evolve_partition_spec([days("ts"), bucket(32, "conv_id")])
+    _run(spark, feed, path, str(tmp / "ck1"))
+
+    rollback_to_version(LakeTable(spark, path), v_mid)
+    t2 = LakeTable(spark, path)
+    assert t2.spec_id == sid_mid
+    assert t2._commit.partition_spec == spec_mid
+    # every restored file is current-layout again: pruning stays fully armed
+    assert all(f.spec_id == t2.spec_id for f in t2.files)
+
+
 def test_rollback_rejects_bad_targets(spark, setup):
     feed, path, tmp = setup
     _run(spark, feed, path, str(tmp / "ck1"), max_epochs=1)
