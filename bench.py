@@ -80,13 +80,22 @@ def _feed_spec(n_events: int):
 
 
 def _replay(
-    spark, n_events: int, batch_size: int, work: str, tag: str, mode: str = "cow"
+    spark, n_events: int, batch_size: int, work: str, tag: str, mode: str = "cow",
+    feed_path: str | None = None,
 ) -> float:
-    """Generate + persist the feed, replay it through the pipeline, return
-    timed replay wall seconds (generation/materialization excluded). In MoR
-    mode periodic compaction runs INSIDE the timed region (every 4 epochs +
-    a final one), so the number is sustained-operation throughput, not
-    append-only burst."""
+    """Replay the feed through the pipeline, return timed replay wall seconds
+    (feed generation/materialization excluded). In MoR mode periodic
+    compaction runs INSIDE the timed region (every 4 epochs + a final one),
+    so the number is sustained-operation throughput, not append-only burst.
+
+    ``feed_path``: pre-generated parquet feed (range-clustered by
+    delivery_seq, so each epoch's pushed-down range scan prunes to its own
+    row groups). Used by the scaling pairs — generating 16M events on 2
+    pinned cores costs more wall than the replay itself, and that dead time
+    is exactly where the shared host's drift invalidates pairs; reading the
+    binlog from files is also the faithful deployment shape. Without it the
+    feed is generated in-process and persisted (the full-machine headline
+    path, where generation is cheap)."""
     from openmrs_module_epts_etl_spark.cdc import (
         CdcPipeline,
         PipelineConfig,
@@ -96,8 +105,11 @@ def _replay(
     )
     from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days
 
-    feed = generate_feed(spark, _feed_spec(n_events), num_partitions=64).persist()
-    feed.count()
+    if feed_path is not None:
+        feed = spark.read.parquet(feed_path)
+    else:
+        feed = generate_feed(spark, _feed_spec(n_events), num_partitions=64).persist()
+        feed.count()
     wd = os.path.join(work, tag)
     tpath = os.path.join(wd, "transcripts")
     LakeTable.create(spark, tpath, transcript_schema(), [days("ts"), bucket(16, "conv_id")])
@@ -119,12 +131,35 @@ def _replay(
 
         compact_latest(_LT(spark, tpath), fence_key="bench-final-compact", epoch_id=0)
     wall = time.perf_counter() - t0
-    feed.unpersist()
+    if feed_path is None:
+        feed.unpersist()
     shutil.rmtree(wd, ignore_errors=True)
     return wall
 
 
-def cdc_child(cores: int, n_events: int, epochs: int, work: str, mode: str = "cow") -> None:
+def pregenerate_feed(n_events: int, out_dir: str) -> None:
+    """Generate the scaling feed ONCE on the full (unpinned) machine and
+    write it range-clustered by delivery_seq — each pair child then reads it
+    instead of paying multi-minute 2-core generation, and each epoch's
+    delivery_seq range filter prunes straight to its own row groups."""
+    from openmrs_module_epts_etl_spark.cdc import generate_feed
+
+    spark = _mk_spark(TOTAL_CPUS, "bench-feedgen")
+    try:
+        (
+            generate_feed(spark, _feed_spec(n_events), num_partitions=64)
+            .repartitionByRange(64, "delivery_seq")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        spark.stop()
+
+
+def cdc_child(
+    cores: int, n_events: int, epochs: int, work: str, mode: str = "cow",
+    feed_path: str | None = None,
+) -> None:
     """Subprocess entry: pin to `cores` cpus, warm up, run the timed replay.
 
     Shuffle partitions scale with the level's cores (4×, the 2-3×-total-cores
@@ -138,7 +173,8 @@ def cdc_child(cores: int, n_events: int, epochs: int, work: str, mode: str = "co
     try:
         _replay(spark, 200_000, 100_000, work, f"warmup-{cores}", mode=mode)
         wall = _replay(
-            spark, n_events, max(n_events // epochs, 10_000), work, f"timed-{cores}", mode=mode
+            spark, n_events, max(n_events // epochs, 10_000), work, f"timed-{cores}",
+            mode=mode, feed_path=feed_path,
         )
         print(
             json.dumps(
@@ -265,14 +301,20 @@ def calibrate_bw(cores: int) -> float:
     return _run_cal(_CAL_BW, cores)
 
 
-def run_level(cores: int, n_events: int, epochs: int, reps: int = 1, mode: str = "cow") -> dict:
+def run_level(
+    cores: int, n_events: int, epochs: int, reps: int = 1, mode: str = "cow",
+    feed_path: str | None = None,
+) -> dict:
     best: dict | None = None
     for _ in range(max(reps, 1)):
         work = tempfile.mkdtemp(prefix=f"cdc-bench-{cores}-", dir="/dev/shm")
         try:
+            argv = [sys.executable, os.path.join(REPO, "bench.py"), "--cdc-child",
+                    str(cores), str(n_events), str(epochs), work, mode]
+            if feed_path is not None:
+                argv.append(feed_path)
             out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--cdc-child",
-                 str(cores), str(n_events), str(epochs), work, mode],
+                argv,
                 capture_output=True, text=True, timeout=3600,
             )
             line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
@@ -377,15 +419,21 @@ def main() -> None:
     min_cache_ceil = float(os.environ.get("SPARK_GRAFT_MIN_CEIL", "0.7"))
     min_bw_ceil = float(os.environ.get("SPARK_GRAFT_MIN_BW_CEIL", "0.55"))
     max_tries = int(os.environ.get("SPARK_GRAFT_BENCH_PAIR_TRIES", str(reps + 2)))
+    # pre-generate the pair feed once on the full machine: pinned-level
+    # generation is dead wall-clock inside the pair's stationarity window
+    # (on 2 cores it exceeds the replay itself), and a file-backed binlog is
+    # the faithful deployment shape anyway
+    feed_dir = tempfile.mkdtemp(prefix="bench-feed-", dir="/dev/shm")
+    pregenerate_feed(n_events, feed_dir)
     pairs = []
     n_valid = 0
     for _ in range(max(max_tries, reps, 1)):
         c_lo = calibrate(n_lo)
         cb_lo = calibrate_bw(n_lo)
-        p_lo = run_level(n_lo, n_events, epochs, reps=1, mode="mor")
+        p_lo = run_level(n_lo, n_events, epochs, reps=1, mode="mor", feed_path=feed_dir)
         c_hi = calibrate(n_lo * 4)
         cb_hi = calibrate_bw(n_lo * 4)
-        p_hi = run_level(n_lo * 4, n_events, epochs, reps=1, mode="mor")
+        p_hi = run_level(n_lo * 4, n_events, epochs, reps=1, mode="mor", feed_path=feed_dir)
         c_lo2 = calibrate(n_lo)
         cb_lo2 = calibrate_bw(n_lo)
         raw = p_hi["events_per_sec"] / (4.0 * p_lo["events_per_sec"])
@@ -427,6 +475,7 @@ def main() -> None:
             n_valid += 1
             if n_valid >= max(reps, 1):
                 break
+    shutil.rmtree(feed_dir, ignore_errors=True)
     # median over VALID pairs; if the host never went quiet, fall back to all
     # pairs and say so in the artifact
     scored = [p for p in pairs if p["valid"]] or pairs
@@ -679,6 +728,7 @@ if __name__ == "__main__":
         cdc_child(
             int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]), sys.argv[5],
             sys.argv[6] if len(sys.argv) > 6 else "cow",
+            sys.argv[7] if len(sys.argv) > 7 else None,
         )
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream-child":
         stream_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
