@@ -55,6 +55,7 @@ import os
 import shutil
 import time
 from dataclasses import dataclass, field
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
@@ -238,16 +239,26 @@ def merge_into(
             # (shrinking, post-evolution-only) old-layout set. A matched old
             # file gets rewritten and thereby MIGRATES to the current layout;
             # untouched old files stay until migrate_layout sweeps them.
+            # input_file_name() is captured AT SCAN TIME, before the join:
+            # selected after a sort-merge semi-join (what AQE picks once the
+            # batch outgrows the broadcast hint cap) it returns '' and matched
+            # old-spec files would silently escape rewrite, leaving a stale
+            # duplicate live next to the new row version.
             hit = {
                 r["__f"]
                 for r in table.read(files=old_files, include_hidden=True)
+                .withColumn("__f", F.input_file_name())
                 .join(bcast_keys(batch_keys), on=key, how="left_semi")
-                .select(F.input_file_name().alias("__f"))
+                .select("__f")
                 .distinct()
                 .collect()
             }
+            # input_file_name() yields a percent-encoded URI; manifest paths
+            # are raw — unquote before comparing or hive-escaped partition
+            # values (space, ':', '%') never match.
+            hit_decoded = {unquote(h) for h in hit}
             rewrite_files += [
-                f for f in old_files if any(h.endswith("/" + f.path) for h in hit)
+                f for f in old_files if any(h.endswith("/" + f.path) for h in hit_decoded)
             ]
 
         # ---- job 3: merge + write + metrics in ONE pass -----------------------
@@ -433,7 +444,9 @@ def vacuum_tombstones(table: LakeTable, min_lsn_keep: int) -> Commit | None:
         .distinct()
         .collect()
     )
-    dirty_paths = {os.path.relpath(r["f"].removeprefix("file://"), table.path) for r in hits}
+    dirty_paths = {
+        os.path.relpath(unquote(r["f"]).removeprefix("file://"), table.path) for r in hits
+    }
     dirty = [f for f in table.files if f.path in dirty_paths]
     if not dirty:
         return None

@@ -45,6 +45,7 @@ import threading
 import uuid
 from dataclasses import dataclass
 from typing import Callable, Iterable
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -690,7 +691,11 @@ class LakeTable:
             for part in os.path.relpath(root, base).split(os.sep):
                 if "=" in part:
                     k, _, v = part.partition("=")
-                    partition[k.removeprefix("__p_")] = v
+                    # hive-escapes special chars (space/':'/'%') as %XX in the
+                    # directory name; manifests store the RAW value so pruning
+                    # comparisons against DataFrame-side values (cast to
+                    # string) match. f.path keeps the literal on-disk name.
+                    partition[k.removeprefix("__p_")] = unquote(v)
             for n in names:
                 if n.endswith(".parquet"):
                     full = os.path.join(root, n)
