@@ -46,12 +46,34 @@ def reconciliation_report(
     src: DataFrame, dst: DataFrame, keys: list[str], compare_cols: list[str]
 ) -> DataFrame:
     """One frame with a ``reason`` column ∈ {MISSING, PHANTOM, OUTDATED}
-    (api:reconciliation/model/ConciliationReasonType.java)."""
-    missing = missing_records(src, dst, keys).select(*keys).withColumn("reason", F.lit("MISSING"))
-    phantom = phantom_records(src, dst, keys).select(*keys).withColumn("reason", F.lit("PHANTOM"))
-    outdated = (
-        outdated_records(src, dst, keys, compare_cols)
-        .select(*keys)
-        .withColumn("reason", F.lit("OUTDATED"))
+    (api:reconciliation/model/ConciliationReasonType.java).
+
+    Single full-outer join on the keys — each side is scanned and shuffled
+    exactly ONCE; the three classes fall out of null-sidedness plus a
+    null-safe field compare. (The composed two-anti-joins + inner-join form
+    reads each side three times — at 100 TB per side that is 6 scans vs 2.)
+    A non-null ``__in_*`` marker per side distinguishes "row absent" from
+    "row present with all-null compare fields"."""
+    s = src.select(
+        *keys,
+        *[F.col(c).alias(f"__s_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_src"),
     )
-    return missing.unionByName(phantom).unionByName(outdated)
+    d = dst.select(
+        *keys,
+        *[F.col(c).alias(f"__d_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_dst"),
+    )
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~F.col(f"__s_{c}").eqNullSafe(F.col(f"__d_{c}"))
+    reason = (
+        F.when(F.col("__in_dst").isNull(), F.lit("MISSING"))
+        .when(F.col("__in_src").isNull(), F.lit("PHANTOM"))
+        .when(differs, F.lit("OUTDATED"))
+    )
+    return (
+        s.join(d, on=keys, how="full_outer")
+        .select(*keys, reason.alias("reason"))
+        .filter(F.col("reason").isNotNull())
+    )

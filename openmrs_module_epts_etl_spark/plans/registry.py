@@ -14,14 +14,18 @@ from . import (
 
 QUERIES = {}
 ORACLES = {}
+# Registration order matters: the external driver samples the FIRST 50
+# registered queries for its correctness artifact. The transcript payload
+# and the newest/least-proven operators go first; tpch goes last so a cap
+# trims redundant classic shapes, not novel operators.
 for mod in (
-    tpch,
+    transcript_queries,
     events_queries,
     text_queries,
     vector_queries,
     ops_queries,
     config_queries,
-    transcript_queries,
+    tpch,
 ):
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)

@@ -24,6 +24,7 @@ from ..functions.dedup import (
     simhash_near_pairs,
     word_shingles,
 )
+from ..functions._cache import cycle_persist
 from ..functions.text import LANG_MARKERS, language_id, quality_score, token_count
 from .base import t
 
@@ -363,14 +364,20 @@ def doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
     w = d.select(
         "doc_id", F.expr("filter(split(trim(text), '\\\\s+'), x -> x <> '')").alias("w")
     )
-    base = w.select(
-        "doc_id",
-        F.size("w").alias("n_words"),
-        F.expr("size(array_distinct(w))").alias("d_words"),
-        F.expr(
-            "CASE WHEN size(w) < 2 THEN array() "
-            "ELSE transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) END"
-        ).alias("grams"),
+    # persist the shared subtree: the regex split + bigram transform is the
+    # most expensive per-row work here and feeds BOTH the explode→groupBy
+    # branch and the final join branch — without the persist it runs twice
+    base = cycle_persist(
+        "doc_repetition_base",
+        w.select(
+            "doc_id",
+            F.size("w").alias("n_words"),
+            F.expr("size(array_distinct(w))").alias("d_words"),
+            F.expr(
+                "CASE WHEN size(w) < 2 THEN array() "
+                "ELSE transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) END"
+            ).alias("grams"),
+        ),
     )
     counts = (
         base.select("doc_id", F.explode("grams").alias("g"))
