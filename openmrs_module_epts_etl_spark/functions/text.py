@@ -159,9 +159,15 @@ def with_rolling_fingerprint(
                              ELSE {m0} END))[0]
     ) % {m31}
     """
+    # Empty/NULL text → NULL, normalized in BOTH engines: Spark's
+    # split('', '') yields [''] (fingerprint 0) while DuckDB's
+    # string_split yields [] (the fold seed) — divergent garbage either way.
     return (
         df.withColumn(cs, F.expr(f"transform(split(`{text_col}`, ''), ch -> ascii(ch))"))
-        .withColumn(out_col, F.expr(fold))
+        .withColumn(
+            out_col,
+            F.when(F.length(F.col(text_col)) > 0, F.expr(fold)),
+        )
         .drop(cs)
     )
 

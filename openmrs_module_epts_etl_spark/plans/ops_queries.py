@@ -241,13 +241,14 @@ SELECT doc_id,
          [md5(substr(text, i, {SHINGLE}))
           for i in range(1, greatest(len(text) - {SHINGLE - 1}, 1) + 1)],
          'min') AS min_shingle_md5,
+       CASE WHEN len(text) > 0 THEN
        list_reduce(
          [CAST({m0} AS BIGINT)] || range(1, len(cs) + 1),
          (acc, i) -> ({hexpr}) * {m31}
                      + least(acc % {m31},
                              CASE WHEN i >= {k} OR i = len(cs) THEN ({hexpr})
                                   ELSE {m0} END)
-       ) % {m31} AS rk_fingerprint
+       ) % {m31} END AS rk_fingerprint
 FROM c
 """
 

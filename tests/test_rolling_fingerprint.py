@@ -14,7 +14,9 @@ from openmrs_module_epts_etl_spark.functions.text import (
 _BK1 = pow(RK_BASE, RK_WINDOW - 1, RK_P)
 
 
-def _oracle(text: str) -> int:
+def _oracle(text: str) -> int | None:
+    if not text:
+        return None  # normalized edge: empty/NULL text fingerprints to NULL
     h, m, n = 0, None, len(text)
     cs = [ord(c) for c in text]
     for i in range(1, n + 1):
@@ -35,11 +37,39 @@ def test_rolling_fingerprint_matches_python_oracle(spark):
         "exactly8!",      # window + 1
         "12345678",       # exactly one window
         "x",
+        "",               # empty → NULL in Spark AND the DuckDB oracle
+        None,             # NULL propagates
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id int, text string")
     got = {r.id: r.rk_fingerprint for r in with_rolling_fingerprint(df).collect()}
     for i, t in enumerate(texts):
-        assert got[i] == _oracle(t), (t, got[i], _oracle(t))
+        want = _oracle(t) if t is not None else None
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_rolling_fingerprint_empty_matches_duckdb_oracle(spark):
+    """The driver-shaped check for the edge the testdata never exercises:
+    Spark's with_rolling_fingerprint and the DuckDB DOC_FINGERPRINTS_SQL must
+    agree on empty text (both NULL — Spark's split('','') yields [''] while
+    DuckDB's string_split yields [], so the un-normalized folds diverge)."""
+    import duckdb
+    import pandas as pd
+
+    from openmrs_module_epts_etl_spark.plans.ops_queries import DOC_FINGERPRINTS_SQL
+
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": ["", "non-empty text here"]})
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = {
+        r[0]: r[1]
+        for r in con.execute(
+            f"SELECT doc_id, rk_fingerprint FROM ({DOC_FINGERPRINTS_SQL})"
+        ).fetchall()
+    }
+    df = spark.createDataFrame(docs)
+    got = {r.doc_id: r.rk_fingerprint for r in with_rolling_fingerprint(df).collect()}
+    assert got == want
+    assert got[1] is None
 
 
 def test_rolling_fingerprint_stable_under_append(spark):
