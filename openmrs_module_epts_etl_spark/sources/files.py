@@ -148,20 +148,29 @@ def transport_batches(export_dir: str, import_dir: str, backup_dir: str | None =
     moved = []
     for batch in sorted(os.listdir(export_dir)):
         src = os.path.join(export_dir, batch)
-        if not os.path.isdir(src) or ".tmp-" in batch:
-            continue
+        if not os.path.isdir(src) or ".tmp-" in batch or batch.endswith(".bad"):
+            continue  # .bad = quarantined below; skipped on reruns too
         mpath = os.path.join(src, "_minimal.json")
         if not os.path.exists(mpath):
             raise FileNotFoundError(f"batch {batch} has no _minimal manifest — not transporting")
         with open(mpath) as fh:
             manifest = json.load(fh)
-        if not manifest.get("rows"):
+        rows = manifest.get("rows")
+        has_parts = any(n.startswith("part-") for n in os.listdir(src))
+        if rows == 0 and not has_parts:
             # the reference deletes an empty destination file rather than
             # shipping it; json_export no longer publishes empty batches, so
             # one here is hand-made/legacy — remove it and keep the loop
             # alive (raising mid-loop would strand every batch sorting after
             # it, on this run and every rerun)
             shutil.rmtree(src, ignore_errors=True)
+            continue
+        if not rows:
+            # rows missing/corrupt (older producer, truncated manifest) but
+            # the directory still holds part-files: data we cannot validate
+            # is quarantined, never destroyed — rename to <batch>.bad and
+            # keep transporting the rest
+            os.rename(src, src + ".bad")
             continue
         dst = os.path.join(import_dir, batch)
         if os.path.exists(dst):

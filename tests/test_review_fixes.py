@@ -106,10 +106,26 @@ def test_empty_export_not_published_and_transport_skips_legacy(spark, tmp_path):
     os.makedirs(legacy)
     with open(os.path.join(legacy, "_minimal.json"), "w") as fh:
         fh.write('{"batch": "a-legacy-empty", "files": [], "rows": 0}')
+    # a batch whose manifest LOST its rows key (corrupt / older producer) but
+    # that still holds real part-files must be quarantined, never rmtree'd
+    stale = os.path.join(export, "c-no-rows-key")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "_minimal.json"), "w") as fh:
+        fh.write('{"batch": "c-no-rows-key", "files": ["part-00000.json"]}')
+    with open(os.path.join(stale, "part-00000.json"), "w") as fh:
+        fh.write('{"id": 1}\n')
+
     moved = transport_batches(export, imp)
     assert [b["batch"] for b in moved] == ["b-empty"]
     assert not os.path.exists(legacy)  # removed, like the reference's delete
     assert os.path.isdir(os.path.join(imp, "b-empty"))
+    assert not os.path.exists(stale)  # quarantined under .bad ...
+    bad = stale + ".bad"
+    assert os.path.isdir(bad)  # ... with the data preserved for inspection
+    assert os.path.exists(os.path.join(bad, "part-00000.json"))
+    # and a rerun neither re-quarantines nor re-transports it
+    assert transport_batches(export, imp) == []
+    assert os.path.isdir(bad) and not os.path.isdir(bad + ".bad")
 
 
 def test_conversation_stats_duration_dst_proof(spark):
