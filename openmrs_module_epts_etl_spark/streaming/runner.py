@@ -45,6 +45,7 @@ class StreamingCdcRunner:
         fence_key: str = "cdc-stream",
         key: list[str] | None = None,
         max_files_per_trigger: int = 4,
+        max_offsets_per_trigger: int | None = None,
         mode: str = "cow",
         compact_every: int | None = 8,
         policy=None,
@@ -58,6 +59,17 @@ class StreamingCdcRunner:
         self.fence_key = fence_key
         self.key = key or TRANSCRIPT_KEY
         self.max_files_per_trigger = max_files_per_trigger
+        # Event-granular trigger sizing over the file source — the
+        # maxOffsetsPerTrigger a binlog-shaped source (Kafka/Kinesis) gives
+        # natively, recovered here by slicing each file-triggered micro-batch
+        # into lsn windows of this width and applying each window as its own
+        # fenced sub-epoch (the batch pipeline's delivery_seq-range mechanism,
+        # cdc/pipeline.py). Kafka semantics exactly: the cap bounds the
+        # OFFSET SPAN per apply (rows per apply ≤ cap when lsns are dense,
+        # which a binlog's are). Slice bounds derive only from the batch's
+        # min lsn — deterministic under Spark's micro-batch replay, so the
+        # (fence_key, sub-epoch) fence still makes replays no-ops.
+        self.max_offsets_per_trigger = max_offsets_per_trigger
         # same mode dial as the batch pipeline (PipelineConfig.mode): "cow" =
         # lsn-guarded MERGE rewrite per micro-batch (read-optimized), "mor" =
         # delta append + periodic compaction (ingest-optimized — the topology
@@ -98,29 +110,70 @@ class StreamingCdcRunner:
             ).dropDuplicatesWithinWatermark(["lsn"])
         return reader
 
+    # fence sub-epoch id = micro_batch_epoch * STRIDE + slice_index: unique as
+    # long as one micro-batch never needs 2^20 slices (guarded below), and a
+    # replayed micro-batch regenerates the identical ids so the fence holds
+    _SLICE_STRIDE = 1 << 20
+
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
-        table = LakeTable(batch_df.sparkSession, self.table_path)
         cols = [f.name for f in self.feed_schema.fields if f.name != "delivery_seq"]
         batch = batch_df.select(*cols)
+        if self.max_offsets_per_trigger is None:
+            self._apply_slice(batch, int(epoch_id))
+        else:
+            w = int(self.max_offsets_per_trigger)
+            lo = batch.agg(F.min("lsn")).first()[0]
+            if lo is None:
+                return  # empty micro-batch
+            # non-empty lsn windows only — one metadata-bounded agg (at most
+            # span/w indices; with a sanely sized cap that is a handful)
+            idx = sorted(
+                r[0]
+                for r in batch.select(
+                    ((F.col("lsn") - F.lit(lo)) / w).cast("long").alias("i")
+                )
+                .distinct()
+                .collect()
+            )
+            if idx and idx[-1] >= self._SLICE_STRIDE:
+                raise ValueError(
+                    f"micro-batch spans {idx[-1] + 1} lsn windows of {w}; "
+                    "raise max_offsets_per_trigger or shrink maxFilesPerTrigger"
+                )
+            for i in idx:
+                sl = batch.filter(
+                    (F.col("lsn") >= lo + i * w) & (F.col("lsn") < lo + (i + 1) * w)
+                )
+                self._apply_slice(sl, int(epoch_id) * self._SLICE_STRIDE + i)
+        # compaction cadence stays at micro-batch granularity regardless of
+        # slicing (it has its own fence, so replays stay no-ops)
+        if self.mode == "mor" and self.compact_every and (
+            int(epoch_id) + 1
+        ) % self.compact_every == 0:
+            from ..cdc.mor import compact_latest
+
+            compact_latest(
+                LakeTable(batch_df.sparkSession, self.table_path),
+                key=list(self.key),
+                fence_key=self.fence_key + "-compact", epoch_id=int(epoch_id),
+            )
+
+    def _apply_slice(self, batch, fence_epoch: int) -> None:
+        table = LakeTable(batch.sparkSession, self.table_path)
         if self.mode == "mor":
-            from ..cdc.mor import append_delta, compact_latest
+            from ..cdc.mor import append_delta
 
             res = append_delta(
                 table, batch, key=list(self.key), fence_key=self.fence_key,
-                epoch_id=int(epoch_id),
+                epoch_id=fence_epoch,
             )
-            if self.compact_every and (int(epoch_id) + 1) % self.compact_every == 0:
-                compact_latest(
-                    table, key=list(self.key),
-                    fence_key=self.fence_key + "-compact", epoch_id=int(epoch_id),
-                )
         else:
             res = merge_into(
                 table,
                 batch,
                 key=self.key,
                 fence_key=self.fence_key,
-                epoch_id=int(epoch_id),
+                epoch_id=fence_epoch,
                 policy=self.policy,
             )
         self.batch_results.append(res)
@@ -159,8 +212,9 @@ class StreamingCdcRunner:
         """Start the live query and return the StreamingQuery (caller owns
         its lifecycle). ``processing_time`` (e.g. ``"10 seconds"``) sets a
         processing-time trigger — the deployment shape; None triggers as
-        fast as micro-batches complete. Rate limiting is maxFilesPerTrigger
-        (file source); a real binlog source swaps in maxOffsetsPerTrigger."""
+        fast as micro-batches complete. Rate limiting: maxFilesPerTrigger at
+        the file source, plus event-granular max_offsets_per_trigger (lsn
+        windows applied as fenced sub-epochs) when set."""
         writer = self._reader().writeStream.foreachBatch(self._apply_batch).option(
             "checkpointLocation", self.checkpoint_dir
         )

@@ -102,11 +102,13 @@ def conversation_progress(events: DataFrame) -> DataFrame:
 def progress_oracle(events_pd: pd.DataFrame) -> pd.DataFrame:
     """Batch oracle: the same cumulative snapshot computed by a plain pandas
     groupby over the full feed (what the final update per conv must equal)."""
-    g = events_pd.groupby("conv_id")
+    g = events_pd.assign(_is_delete=(events_pd["op"] == "D").astype("int64")).groupby(
+        "conv_id"
+    )
     out = pd.DataFrame(
         {
             "n_events": g.size(),
-            "n_deletes": g.apply(lambda f: int((f["op"] == "D").sum())),
+            "n_deletes": g["_is_delete"].sum(),
             "max_turn_idx": g["turn_idx"].max().astype("int32"),
             "max_lsn": g["lsn"].max(),
             "last_ts": g["ts"].max(),

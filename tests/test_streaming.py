@@ -206,6 +206,52 @@ def test_live_trigger_and_progress_ledger(spark, tmp_path, feed_dir):
     assert any(r["duration_ms"] for r in rows)
 
 
+def test_max_offsets_per_trigger_bounds_apply_size(spark, tmp_path, feed_dir):
+    """Event-granular trigger sizing (the file-source analog of Kafka's
+    maxOffsetsPerTrigger): each micro-batch is sliced into lsn windows of
+    width w and applied as fenced sub-epochs, so no single merge ever sees
+    more than w offsets. Final state must still match the oracle, and a
+    checkpoint-wipe replay must fence every sub-epoch (deterministic ids)."""
+    w = 300
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), [days("ts"), bucket(8, "conv_id")]
+    )
+    ck = str(tmp_path / "ck")
+    runner = _runner(spark, feed_dir, t.path, ck)
+    runner.max_offsets_per_trigger = w
+    runner.mode = "mor"
+    runner.compact_every = 2
+    results = runner.run_available_now()
+    # more applies than micro-batches (3000 events / 2-file triggers of ~1000)
+    assert len(results) > 3
+    for r in results:
+        assert sum(r.applied.values()) <= w, r.applied
+    feed_pd = spark.read.parquet(feed_dir).drop("delivery_seq", "__batch").toPandas()
+    from openmrs_module_epts_etl_spark.cdc.mor import read_state
+    from openmrs_module_epts_etl_spark.cdc.oracle import expected_state_pandas
+
+    payload = ["role", "text", "tool", "ts"]
+    got = (
+        read_state(t.refresh()).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    exp = expected_state_pandas(feed_pd, payload)
+    cols = ["conv_id", "turn_idx", *payload]
+    pd.testing.assert_frame_equal(exp[cols], got[cols], check_dtype=False)
+
+    # replay from a wiped checkpoint: identical slice bounds → identical
+    # sub-epoch ids → every apply fenced, table version unchanged
+    v = t.refresh().version
+    shutil.rmtree(ck)
+    r2 = _runner(spark, feed_dir, t.path, ck)
+    r2.max_offsets_per_trigger = w
+    r2.mode = "mor"
+    r2.compact_every = 2
+    out2 = r2.run_available_now()
+    assert out2 and all(r.skipped_epoch for r in out2)
+    assert t.refresh().version == v
+
+
 def test_suppress_redelivery_dedupes_by_lsn(spark, tmp_path, feed_dir):
     """At-least-once source: every feed file delivered twice. With
     suppress_redelivery the duplicates die at ingest (state bounded by the
