@@ -1,11 +1,13 @@
-"""Real pure-numpy codecs for uncompressed media formats.
+"""Real pure-numpy codecs for media formats that need no external library.
 
-The container has no PIL/soundfile, but uncompressed formats need none:
+The container has no PIL/soundfile, but these formats need none:
 WAV (RIFF/PCM16), BMP (BITMAPINFOHEADER, 24bpp bottom-up), and PPM (P6) are
 fixed headers over raw sample/pixel arrays — ``struct`` + numpy decode them
-exactly. multimodal.py routes these formats through here (REAL decode /
-resize / feature extraction); only compressed formats (jpeg/png/mp3/...)
-remain behind the declared stub boundary.
+exactly — and PNG (8-bit gray/RGB/RGBA, non-interlaced) is stdlib ``zlib``
+plus chunk framing and scanline (de)filtering, implemented below.
+multimodal.py routes these formats through here (REAL decode / resize /
+feature extraction); only formats whose codecs genuinely need a heavyweight
+library (jpeg/mp3/h264/...) remain behind the declared stub boundary.
 
 Everything is array-in/bytes-out (and vice versa): no per-row Python at the
 Spark layer — these run inside Arrow-batched ``mapInPandas`` over the binary
@@ -138,6 +140,151 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     raw = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return raw.reshape(h, w, 3)
+
+
+# --------------------------------------------------------------------- PNG
+#
+# Minimal-but-real PNG: zlib is stdlib, the rest is chunk framing + scanline
+# (de)filtering — so the COMPRESSED-image boundary needs no optional
+# dependency. Supported: 8-bit depth, color types 0 (gray), 2 (RGB) and
+# 6 (RGBA), no interlace, no palette. The encoder emits color type 2 and can
+# apply any of the five scanline filters (encoding is fully vectorized —
+# filtering references raw neighbor values, which are all known up front);
+# the decoder handles all five (Sub via per-lane cumsum, Up vectorized,
+# Average/Paeth as the spec's sequential recurrences).
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """8-bit RGB (color type 2) PNG from an (H, W, 3) uint8 array.
+    ``filter_type`` ∈ 0..4 is applied to every scanline (0 = None is the
+    fast path; the others exist so round-trip tests exercise every
+    de-filter branch)."""
+    import zlib
+
+    h, w, c = pixels.shape
+    if c != 3:
+        raise ValueError("need (H, W, 3) RGB")
+    if filter_type not in range(5):
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    raw = pixels.astype(np.int16)  # headroom for the mod-256 filter math
+    left = np.zeros_like(raw)
+    left[:, 1:] = raw[:, :-1]
+    up = np.zeros_like(raw)
+    up[1:] = raw[:-1]
+    upleft = np.zeros_like(raw)
+    upleft[1:, 1:] = raw[:-1, :-1]
+    if filter_type == 0:
+        filt = raw
+    elif filter_type == 1:  # Sub
+        filt = raw - left
+    elif filter_type == 2:  # Up
+        filt = raw - up
+    elif filter_type == 3:  # Average
+        filt = raw - (left + up) // 2
+    else:  # Paeth
+        filt = raw - _paeth_predictor(left, up, upleft)
+    lines = (filt % 256).astype(np.uint8).reshape(h, w * 3)
+    body = np.concatenate(
+        [np.full((h, 1), filter_type, np.uint8), lines], axis=1
+    ).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(body))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth_predictor(a, b, c):
+    """The PNG Paeth predictor, elementwise (spec §9, Filtering)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """→ (H, W, 3) uint8 RGB. 8-bit gray/RGB/RGBA, non-interlaced (gray is
+    stacked to 3 channels, RGBA drops alpha)."""
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, n = len(_PNG_SIG), len(payload)
+    w = h = None
+    channels = 0
+    idat = b""
+    while pos + 8 <= n:
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, interlace={interlace})"
+                )
+            channels = {0: 1, 2: 3, 6: 4}.get(ctype, 0)
+            if not channels:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(idat), np.uint8)
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has wrong length")
+    raw = raw.reshape(h, stride + 1)
+    ftypes, lines = raw[:, 0], raw[:, 1:].astype(np.int32)
+    bpp = channels
+    recon = np.zeros((h, stride), np.int32)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f, cur = int(ftypes[y]), lines[y]
+        if f == 0:
+            row = cur
+        elif f == 1:  # Sub: per-lane cumsum (mod 256)
+            row = cur.reshape(-1, bpp).cumsum(axis=0).reshape(-1)
+        elif f == 2:  # Up
+            row = cur + prev
+        elif f in (3, 4):  # Average / Paeth: sequential in x by definition
+            # mod 256 at EVERY reconstructed byte — these predictors are
+            # nonlinear (floor div / min-select), unlike Sub/Up where one
+            # final mod is equivalent
+            row = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 3:
+                    row[x] = (cur[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    row[x] = (cur[x] + _paeth_predictor(a, b, c)) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f} on line {y}")
+        prev = row % 256
+        recon[y] = prev
+    img = recon.astype(np.uint8).reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
 
 
 # ----------------------------------------------------------- transformations

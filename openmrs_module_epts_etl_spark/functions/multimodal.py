@@ -2,15 +2,17 @@
 
 The Spark-side plumbing — schema, partition-friendly layout, Arrow-batched
 ``mapInPandas`` UDF signatures and batch shapes — is real and tested, and so
-is the codec step for every UNCOMPRESSED format: WAV (PCM16), BMP (24bpp)
-and PPM (P6) are decoded / resized / feature-extracted for real with pure
-numpy (functions/codecs.py — no image/audio libraries needed), including a
+is the codec step for every library-free format: WAV (PCM16), BMP (24bpp),
+PPM (P6) and PNG (8-bit, stdlib zlib inflate + scanline de-filtering) are
+decoded / resized / feature-extracted for real with pure numpy
+(functions/codecs.py — no image/audio libraries needed), including a
 length-prefixed BMP frame container for video whose frame sampling extracts
-real frame payloads. Only compressed formats (jpeg/png/mp3/...) remain
-stubbed: decode attempts a real backend (PIL) via import-try and otherwise
-produces a **deterministic fake decode** (feature bytes derived from the
-payload hash). Passing ``require_real=True`` raises ``NotImplementedError``
-for exactly those formats, marking where a deployment plugs in a codec.
+real frame payloads. Only formats whose codecs genuinely need a heavyweight
+library (jpeg/mp3/h264/...) remain stubbed: decode attempts a real backend
+(PIL) via import-try and otherwise produces a **deterministic fake decode**
+(feature bytes derived from the payload hash). Passing ``require_real=True``
+raises ``NotImplementedError`` for exactly those formats, marking where a
+deployment plugs in a codec.
 """
 
 from __future__ import annotations
@@ -91,13 +93,15 @@ def synthesize_real_media(spark: SparkSession, n: int, seed: int = 42) -> DataFr
             for mid in pdf["id"]:
                 rng = np.random.default_rng((seed, int(mid)))
                 pick = int(mid) % 3
-                if pick == 0:          # image: BMP or PPM
+                if pick == 0:          # image: BMP, PPM or PNG
                     w, h = int(rng.integers(8, 48)), int(rng.integers(8, 48))
                     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-                    use_bmp = bool(mid % 2)
-                    data = codecs.encode_bmp(px) if use_bmp else codecs.encode_ppm(px)
-                    vals = ("image", data, "image/bmp" if use_bmp else "image/ppm",
-                            w, h, None, None)
+                    enc = [
+                        (codecs.encode_bmp, "image/bmp"),
+                        (codecs.encode_ppm, "image/ppm"),
+                        (codecs.encode_png, "image/png"),
+                    ][(int(mid) // 3) % 3]
+                    vals = ("image", enc[0](px), enc[1], w, h, None, None)
                 elif pick == 1:        # audio: WAV
                     sr = 16_000
                     nsamp = int(rng.integers(400, 4000))
@@ -128,7 +132,7 @@ def synthesize_real_media(spark: SparkSession, n: int, seed: int = 42) -> DataFr
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-_REAL_FORMATS = {"image/bmp", "image/ppm", "audio/wav", "video/bmpseq"}
+_REAL_FORMATS = {"image/bmp", "image/ppm", "image/png", "audio/wav", "video/bmpseq"}
 
 
 def _real_image_backend():
@@ -168,6 +172,8 @@ def _decode_one(data: bytes, fmt: str):
         return codecs.decode_bmp(data)
     if fmt == "image/ppm":
         return codecs.decode_ppm(data)
+    if fmt == "image/png":
+        return codecs.decode_png(data)
     if fmt == "video/bmpseq":
         import struct as _struct
 
@@ -228,8 +234,8 @@ def extract_features(df: DataFrame, require_real: bool = False) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, require_real: bool = False) -> DataFrame:
-    """Image resize. bmp/ppm payloads are REALLY resampled (nearest-neighbor,
-    pure numpy) and re-encoded; other image formats keep their payload and
+    """Image resize. bmp/ppm/png payloads are REALLY resampled (nearest-
+    neighbor, pure numpy) and re-encoded; other image formats keep their payload and
     only re-stamp geometry (the stub) — rejected under ``require_real``
     unless a real backend (PIL) exists."""
     backend = _real_image_backend()
@@ -257,6 +263,9 @@ def resize_images(df: DataFrame, width: int, height: int, require_real: bool = F
                 elif fmt == "image/ppm":
                     px = codecs.resize_nearest(codecs.decode_ppm(out.at[i, "data"]), width, height)
                     new_data.append(codecs.encode_ppm(px))
+                elif fmt == "image/png":
+                    px = codecs.resize_nearest(codecs.decode_png(out.at[i, "data"]), width, height)
+                    new_data.append(codecs.encode_png(px))
                 else:
                     new_data.append(out.at[i, "data"])  # stub: payload unchanged
             out["data"] = new_data

@@ -83,7 +83,88 @@ def test_feature_vectors_shape_and_determinism():
     assert a1[0] == pytest.approx(500 / 16_000)
 
 
+# --------------------------------------------------------------------- PNG
+
+
+def test_png_roundtrip_every_filter_type():
+    """Encode with each of the five PNG scanline filters (0..4) — round-trip
+    exercises every de-filter branch (None, Sub-cumsum, Up, Average, Paeth)."""
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    for f in range(5):
+        payload = codecs.encode_png(px, filter_type=f)
+        assert payload.startswith(b"\x89PNG")
+        np.testing.assert_array_equal(codecs.decode_png(payload), px, err_msg=f"filter {f}")
+
+
+def test_png_gray_and_rgba_decode():
+    """Color types 0 (gray → stacked) and 6 (RGBA → alpha dropped), built by
+    hand so the decoder is tested against the spec, not our own encoder."""
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x3 gray ramp, filter 0 rows
+    gray = np.array([[10, 20, 30], [40, 50, 60]], np.uint8)
+    body = b"".join(b"\x00" + row.tobytes() for row in gray)
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(png)
+    assert out.shape == (2, 3, 3)
+    np.testing.assert_array_equal(out[:, :, 0], gray)
+    np.testing.assert_array_equal(out[:, :, 1], gray)
+
+    rgba = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)
+    body = b"".join(b"\x00" + row.tobytes() for row in rgba)
+    png = (
+        sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codecs.decode_png(png), rgba[:, :, :3])
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"not-a-png-at-all-really")
+    # interlaced flag set → explicit unsupported error, not silent garbage
+    import struct
+    import zlib
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="interlace"):
+        codecs.decode_png(png)
+
+
 # ------------------------------------------------------------ spark wiring
+
+_DECODERS = {
+    "image/bmp": codecs.decode_bmp,
+    "image/ppm": codecs.decode_ppm,
+    "image/png": codecs.decode_png,
+}
 
 
 @pytest.fixture(scope="module")
@@ -103,6 +184,9 @@ def test_synthesize_real_media_payloads_decode(real_media):
             assert px.shape == (r["height"], r["width"], 3)
         elif r["format"] == "image/ppm":
             px = codecs.decode_ppm(bytes(r["data"]))
+            assert px.shape == (r["height"], r["width"], 3)
+        elif r["format"] == "image/png":
+            px = codecs.decode_png(bytes(r["data"]))
             assert px.shape == (r["height"], r["width"], 3)
         elif r["format"] == "audio/wav":
             x, rate = codecs.decode_wav(bytes(r["data"]))
@@ -131,11 +215,7 @@ def test_resize_images_really_resamples(real_media):
     out = resize_images(real_media, 16, 12, require_real=True)
     for r in out.filter("kind = 'image'").collect():
         assert r["width"] == 16 and r["height"] == 12
-        dec = (
-            codecs.decode_bmp(bytes(r["data"]))
-            if r["format"] == "image/bmp"
-            else codecs.decode_ppm(bytes(r["data"]))
-        )
+        dec = _DECODERS[r["format"]](bytes(r["data"]))
         assert dec.shape == (12, 16, 3)  # payload itself changed, not just metadata
 
 
@@ -171,6 +251,17 @@ def test_bmp_roundtrip_property(px):
 )
 def test_ppm_roundtrip_property(px):
     np.testing.assert_array_equal(codecs.decode_ppm(codecs.encode_ppm(px)), px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 16), st.integers(1, 16), st.just(3))),
+    st.integers(0, 4),
+)
+def test_png_roundtrip_property(px, filter_type):
+    np.testing.assert_array_equal(
+        codecs.decode_png(codecs.encode_png(px, filter_type=filter_type)), px
+    )
 
 
 @settings(max_examples=50, deadline=None)
