@@ -73,10 +73,14 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     what is already per-document data)."""
     # Shingling fans each doc out ~|words| rows — CPU-heavy row generation.
     # A small corpus arriving as one parquet split would run it single-task;
-    # spread the docs first when the input has less parallelism than the
-    # session (at real scale file splits already provide it — no-op then).
+    # spread the docs first when the input has fewer file splits than the
+    # session has slots. inputFiles() is metadata-only (plan traversal) —
+    # unlike df.rdd.getNumPartitions(), which forces a DF→RDD conversion on
+    # the driver per call. At real scale file splits already provide the
+    # parallelism and this is a no-op; non-file-backed frames (empty
+    # inputFiles) keep their existing distribution.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    if 0 < len(df.inputFiles()) < par:
         df = df.repartition(par, F.col(id_col))
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     words = F.split(norm, " ")
