@@ -36,9 +36,11 @@ Prints ONE JSON line; also refreshes BENCH.md.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
 import tempfile
@@ -46,6 +48,74 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 TOTAL_CPUS = os.cpu_count() or 32
+
+
+def _log(msg: str) -> None:
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _code_fingerprint() -> str:
+    """Identity of the code being MEASURED: git tree hash of the package plus
+    the blob hashes of bench.py and __spark_entry__.py, '-dirty' when any of
+    those paths differ from HEAD. BENCH/CORRECTNESS artifacts and docs do not
+    participate — committing BENCH.json does not invalidate section reuse,
+    while any engine/bench code change does."""
+    paths = ["openmrs_module_epts_etl_spark", "bench.py", "__spark_entry__.py"]
+    try:
+        hashes = [
+            subprocess.run(
+                ["git", "rev-parse", f"HEAD:{p}"], cwd=REPO,
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            for p in paths
+        ]
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain", "--", *paths],
+            cwd=REPO, capture_output=True, text=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+    fp = hashlib.sha256("\n".join(hashes).encode()).hexdigest()[:16]
+    return fp + ("-dirty" if dirty else "")
+
+
+class Budget:
+    """Wall-clock planner: the driver runs bench.py under a hard timeout
+    (round 2's run hit it: rc=124, nothing parsed). Sections check
+    ``remaining()`` before starting and degrade (fewer reps / reuse /
+    skip-with-provenance) instead of overrunning; the final JSON line is
+    emitted no matter which sections ran."""
+
+    def __init__(self, total_s: float):
+        self.t0 = time.monotonic()
+        self.total = total_s
+
+    def elapsed(self) -> float:
+        return time.monotonic() - self.t0
+
+    def remaining(self) -> float:
+        return self.total - self.elapsed()
+
+
+# compact-line state, updated as sections land so a SIGTERM (driver timeout)
+# still flushes everything measured so far
+_COMPACT: dict = {}
+_EMITTED = False
+
+
+def _emit_compact() -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    sys.stdout.flush()
+    print(json.dumps(_COMPACT), flush=True)
+
+
+def _on_term(signum, frame):  # driver timeout: flush the partial result line
+    _log(f"signal {signum} — emitting partial result")
+    _emit_compact()
+    os._exit(143)
 
 
 def _mk_spark(cores: int, app: str, local_dir: str | None = None):
@@ -357,7 +427,9 @@ HEADLINE = [
 ]
 
 
-def bench_queries(sf_dir: str, cores: int) -> dict[str, float]:
+def bench_queries(
+    sf_dir: str, cores: int, timed_passes: int = 2, time_left=None
+) -> dict[str, float]:
     from openmrs_module_epts_etl_spark.plans import QUERIES
 
     spark = _mk_spark(cores, "query-bench")
@@ -366,15 +438,19 @@ def bench_queries(sf_dir: str, cores: int) -> dict[str, float]:
         # steady-state timing: each query runs once untimed (absorbs its own
         # whole-stage-codegen JIT — a per-JVM one-time cost, e.g. q1's decimal
         # agg shape costs ~12s to compile and 1.8s to run — plus parquet
-        # footer caches), then twice timed keeping the best (a co-tenant
-        # burst on this shared host can inflate a single pass 5×). The
-        # steady-state number is what a resident cluster serving repeated
-        # queries sees.
+        # footer caches), then ``timed_passes`` timed keeping the best (a
+        # co-tenant burst on this shared host can inflate a single pass 5×).
+        # The steady-state number is what a resident cluster serving repeated
+        # queries sees. ``time_left`` (callable → seconds) stops the loop
+        # early under a tight driver budget — partial coverage beats rc=124.
         for name in HEADLINE:
+            if time_left is not None and time_left() < 45:
+                _log(f"query bench stopping early before {name} (budget)")
+                break
             fn = QUERIES[name]
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = None
-            for _ in range(2):
+            for _ in range(max(timed_passes, 1)):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 w = time.perf_counter() - t0
@@ -387,6 +463,15 @@ def bench_queries(sf_dir: str, cores: int) -> dict[str, float]:
 
 def main() -> None:
     sys.path.insert(0, REPO)
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    # Wall-clock budget (seconds). The driver runs bench.py under a hard
+    # timeout it does not publish; round 2 overran it (rc=124 → no parsed
+    # result at all). Default sized so a from-cold run finishes comfortably
+    # inside the observed round-1 window; the builder's own exhaustive runs
+    # set it high explicitly.
+    budget = Budget(float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2100")))
+    fingerprint = _code_fingerprint()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(TOTAL_CPUS)))
     # 16M events per scaling level: at 8M the ~1.6s/epoch fixed driver cost
@@ -419,15 +504,102 @@ def main() -> None:
     min_cache_ceil = float(os.environ.get("SPARK_GRAFT_MIN_CEIL", "0.7"))
     min_bw_ceil = float(os.environ.get("SPARK_GRAFT_MIN_BW_CEIL", "0.55"))
     max_tries = int(os.environ.get("SPARK_GRAFT_BENCH_PAIR_TRIES", str(reps + 2)))
-    # pre-generate the pair feed once on the full machine: pinned-level
-    # generation is dead wall-clock inside the pair's stationarity window
-    # (on 2 cores it exceeds the replay itself), and a file-backed binlog is
-    # the faithful deployment shape anyway
-    feed_dir = tempfile.mkdtemp(prefix="bench-feed-", dir="/dev/shm")
-    pregenerate_feed(n_events, feed_dir)
-    pairs = []
-    n_valid = 0
-    for _ in range(max(max_tries, reps, 1)):
+    # Prior artifact: sections are reused ONLY when the code fingerprint
+    # matches (or SPARK_GRAFT_REUSE_SECTIONS=1 forces it), and every reused
+    # section is stamped with the fingerprint it was measured under — one
+    # artifact never silently mixes measurements of different code versions
+    # without saying so.
+    prior = None
+    try:
+        with open(os.path.join(REPO, "BENCH.json")) as fh:
+            prior = json.load(fh)
+    except (OSError, ValueError):
+        prior = None
+    prior_fp = (prior or {}).get("code_fingerprint")
+    fp_match = (
+        prior is not None
+        and prior_fp == fingerprint
+        and fingerprint != "unknown"
+        and not fingerprint.endswith("-dirty")
+    )
+    force_reuse = os.environ.get("SPARK_GRAFT_REUSE_SECTIONS") == "1"
+    can_reuse = prior is not None and (fp_match or force_reuse)
+    _log(f"fingerprint={fingerprint} prior={prior_fp} reuse={'exact' if fp_match else 'forced' if can_reuse else 'no'}")
+
+    def reuse_section(name: str):
+        sec = prior.get(name)
+        if isinstance(sec, dict):
+            sec = {**sec, "reused_from": prior_fp, "reused_exact_match": fp_match}
+        return sec
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    _COMPACT.update(
+        {
+            "metric": "cdc_events_per_sec_local%d" % cpus,
+            "value": None,
+            "unit": "events/sec",
+            "queries": {},
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "code_fingerprint": fingerprint,
+            "bench_budget_s": budget.total,
+        }
+    )
+
+    head_events = int(os.environ.get("SPARK_GRAFT_HEAD_EVENTS", str(max(n_events, 16_000_000))))
+    # median of N reps, same honesty rule as soak/scaling — a single sample
+    # on this shared host swung 3.7× between rounds (co-tenant bursts)
+    head_reps = int(os.environ.get("SPARK_GRAFT_HEAD_REPS", "3"))
+    stream_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", str(4_000_000)))
+    soak_events = int(os.environ.get("SPARK_GRAFT_SOAK_EVENTS", str(48_000_000)))
+
+    # planning costs (seconds), deliberately pessimistic; the first measured
+    # pair replaces the pair estimate
+    est_feedgen = n_events / 150_000 + 50
+    est_head_rep = head_events / 140_000 + 80
+    est_queries = 0 if (can_reuse and prior.get("queries")) else 450
+    est_head = 0 if (can_reuse and prior.get("head")) else est_head_rep
+
+    def reserve() -> float:
+        # the mandatory post-scaling sections (queries = driver contract,
+        # head = the artifact's headline value) plus teardown margin
+        return est_queries + est_head + 60
+
+    # ---- scaling pairs (the north rule) -----------------------------------
+    # same-fingerprint pairs from the committed artifact join the pool,
+    # tagged from_prior_run — they measured byte-identical code, and a tight
+    # driver budget may only fit 1-2 fresh pairs
+    prior_pairs = []
+    if fp_match and (prior.get("scaling") or {}).get("all_pairs"):
+        prior_pairs = [
+            {**p, "from_prior_run": True}
+            for p in prior["scaling"]["all_pairs"][:12]
+        ]
+    prior_valid = sum(1 for p in prior_pairs if p.get("valid"))
+
+    pairs: list[dict] = []
+    feed_dir = None
+    pair_cost = n_events / 85_000 + n_events / 280_000 + 160
+    tries = 0
+    while tries < max(max_tries, reps, 1):
+        n_valid = prior_valid + sum(1 for p in pairs if p["valid"])
+        if pairs and n_valid >= max(reps, 1):
+            break
+        need = pair_cost + (est_feedgen if feed_dir is None else 0)
+        if budget.remaining() - reserve() < need:
+            _log(
+                f"scaling: stop after {len(pairs)} fresh pairs "
+                f"(next needs ~{need:.0f}s, have {budget.remaining() - reserve():.0f}s)"
+            )
+            break
+        if feed_dir is None:
+            # pre-generate the pair feed once on the full machine:
+            # pinned-level generation is dead wall-clock inside the pair's
+            # stationarity window (on 2 cores it exceeds the replay itself),
+            # and a file-backed binlog is the faithful deployment shape anyway
+            feed_dir = tempfile.mkdtemp(prefix="bench-feed-", dir="/dev/shm")
+            _log(f"pre-generating {n_events}-event feed")
+            pregenerate_feed(n_events, feed_dir)
+        t_pair = time.monotonic()
         c_lo = calibrate(n_lo)
         cb_lo = calibrate_bw(n_lo)
         p_lo = run_level(n_lo, n_events, epochs, reps=1, mode="mor", feed_path=feed_dir)
@@ -471,62 +643,92 @@ def main() -> None:
                 f"{n_lo}_cores_after": cb_lo2,
             },
         })
-        if not bad:
-            n_valid += 1
-            if n_valid >= max(reps, 1):
-                break
-    shutil.rmtree(feed_dir, ignore_errors=True)
-    # median over VALID pairs; if the host never went quiet, fall back to all
-    # pairs and say so in the artifact
-    scored = [p for p in pairs if p["valid"]] or pairs
-    host_disturbed = not any(p["valid"] for p in pairs)
-    best = max(scored, key=lambda p: p["normalized"])
-    lo, hi = best["lo"], best["hi"]
-    raw_eff, ceiling = best["raw"], best["ceiling"]
-    cal = best["calibration_tasks_per_sec"]
-    cal_lo, cal_hi = cal[f"{n_lo}_cores"], cal[f"{n_lo * 4}_cores"]
+        tries += 1
+        pair_cost = max(time.monotonic() - t_pair, 60.0)
+        _log(
+            f"pair {len(pairs)}: raw={raw:.3f} norm={pairs[-1]['normalized']} "
+            f"valid={not bad} ({pair_cost:.0f}s)"
+        )
+    if feed_dir is not None:
+        shutil.rmtree(feed_dir, ignore_errors=True)
+
+    # median over VALID pairs (fresh + same-fingerprint prior); if the host
+    # never went quiet, fall back to all pairs and say so in the artifact.
     # HEADLINE efficiency = the MEDIAN valid pair, not the best: best-of-N is
     # a selection rule that flatters one lucky host phase; the median is the
     # number a reviewer should trust (the best pair is still reported).
-    norms = sorted(p["normalized"] for p in scored)
-    efficiency = norms[len(norms) // 2]
-    best_eff = best["normalized"]
-    raw_median = sorted(p["raw"] for p in scored)[len(scored) // 2]
+    all_pairs = pairs + prior_pairs
+    scored = [p for p in all_pairs if p["valid"]] or all_pairs
+    host_disturbed = not any(p["valid"] for p in all_pairs)
+    if scored:
+        best = max(scored, key=lambda p: p["normalized"])
+        lo, hi = best["lo"], best["hi"]
+        raw_eff, ceiling = best["raw"], best["ceiling"]
+        cal = best["calibration_tasks_per_sec"]
+        cal_lo, cal_hi = cal[f"{n_lo}_cores"], cal[f"{n_lo * 4}_cores"]
+        norms = sorted(p["normalized"] for p in scored)
+        efficiency = norms[len(norms) // 2]
+        best_eff = best["normalized"]
+        raw_median = sorted(p["raw"] for p in scored)[len(scored) // 2]
+    else:  # budget never fit a single pair and no prior pool
+        best = lo = hi = None
+        raw_eff = ceiling = cal_lo = cal_hi = None
+        efficiency = best_eff = raw_median = None
+    _COMPACT.update(
+        {
+            "scaling_efficiency_N_to_4N": efficiency,
+            "scaling_raw_median": raw_median,
+            "scaling_valid_pairs": sum(1 for p in all_pairs if p["valid"]),
+            "scaling_fresh_pairs": len(pairs),
+            "scaling_host_disturbed": host_disturbed,
+        }
+    )
 
-    # SPARK_GRAFT_REUSE_SECTIONS=1: keep the absolute-throughput sections
-    # (head/cow/soak/stream/queries) from the existing BENCH.json and
-    # re-measure ONLY the scaling pairs — for re-running the stationarity-
-    # gated scaling measurement once the shared host calms down, without
-    # paying the ~90 min of unaffected sections again. The artifact notes
-    # nothing special: every number is still a real measurement of this code.
-    prior = None
-    if os.environ.get("SPARK_GRAFT_REUSE_SECTIONS") == "1":
-        try:
-            with open(os.path.join(REPO, "BENCH.json")) as fh:
-                prior = json.load(fh)
-        except (OSError, ValueError):
-            prior = None
+    # ---- queries (driver contract) -----------------------------------------
+    queries_reused = None
+    if can_reuse and prior.get("queries"):
+        queries = dict(prior["queries"])
+        queries_reused = prior_fp
+    else:
+        timed = 2 if budget.remaining() - est_head > 600 else 1
+        queries = bench_queries(
+            sf_dir, cpus, timed_passes=timed,
+            time_left=lambda: budget.remaining() - est_head - 45,
+        )
+    _COMPACT["queries"] = queries
+    if queries_reused:
+        _COMPACT["queries_reused_from"] = queries_reused
 
-    # headline absolute throughput on the full machine, both modes
-    head_events = int(os.environ.get("SPARK_GRAFT_HEAD_EVENTS", str(max(n_events, 16_000_000))))
-    # median of N reps, same honesty rule as soak/scaling — a single sample
-    # on this shared host swung 3.7× between rounds (co-tenant bursts)
-    head_reps = int(os.environ.get("SPARK_GRAFT_HEAD_REPS", "3"))
-
-    def _median_level(cores, n_ev, eps, mode):
+    # ---- headline absolute throughput on the full machine, both modes ------
+    def _median_level(cores, n_ev, eps, mode, reps_n):
         runs = sorted(
-            (run_level(cores, n_ev, eps, mode=mode) for _ in range(head_reps)),
+            (run_level(cores, n_ev, eps, mode=mode) for _ in range(reps_n)),
             key=lambda s: s["events_per_sec"],
         )
         med = runs[len(runs) // 2]
         med["all_reps_events_per_sec"] = [s["events_per_sec"] for s in runs]
         return med
 
-    if prior and prior.get("head") and prior.get("head_cow"):
-        head, head_cow = prior["head"], prior["head_cow"]
+    if can_reuse and prior.get("head"):
+        head = reuse_section("head")
     else:
-        head = _median_level(cpus, head_events, epochs, "mor")
-        head_cow = _median_level(cpus, head_events, 2, "cow")
+        fit = int(max((budget.remaining() - 90) // est_head_rep, 0))
+        n = min(head_reps, fit)
+        head = _median_level(cpus, head_events, epochs, "mor", n) if n else None
+    if head is None and hi is not None:
+        # budget too tight for a dedicated headline run: the scaling pair's
+        # hi level is still a real full-pipeline measurement of this code
+        head = {**hi, "source": "scaling_hi_level"}
+    _COMPACT["value"] = head["events_per_sec"] if head else None
+
+    est_cow_rep = head_events / 110_000 + 80
+    if can_reuse and prior.get("head_cow"):
+        head_cow = reuse_section("head_cow")
+    else:
+        fit = int(max((budget.remaining() - 60) // est_cow_rep, 0))
+        n = min(head_reps, fit)
+        head_cow = _median_level(cpus, head_events, 2, "cow", n) if n else None
+    _COMPACT["cow_events_per_sec"] = head_cow["events_per_sec"] if head_cow else None
 
     # sustained soak: 3× the headline events in bigger epochs — shows fixed
     # per-epoch cost amortization and compaction over a growing table. Needs
@@ -535,9 +737,11 @@ def main() -> None:
     # Structured Streaming topology (readStream → foreachBatch MoR):
     # the north-star deployment shape, measured on the full machine
     stream = None
-    stream_events = int(os.environ.get("SPARK_GRAFT_STREAM_EVENTS", str(4_000_000)))
-    if prior and prior.get("streaming"):
-        stream, stream_events = prior["streaming"], 0
+    if can_reuse and prior.get("streaming"):
+        stream, stream_events = reuse_section("streaming"), 0
+    if stream_events and budget.remaining() < stream_events / 200_000 + 120:
+        _log("skipping streaming section (budget)")
+        stream_events = 0
     if stream_events:
         swork = tempfile.mkdtemp(prefix="stream-bench-", dir="/dev/shm")
         try:
@@ -551,17 +755,23 @@ def main() -> None:
         finally:
             shutil.rmtree(swork, ignore_errors=True)
 
-    soak_events = int(os.environ.get("SPARK_GRAFT_SOAK_EVENTS", str(48_000_000)))
     soak = None
-    if prior and prior.get("soak"):
-        soak, soak_events = prior["soak"], 0
+    soak_reps = int(os.environ.get("SPARK_GRAFT_SOAK_REPS", "3"))
+    if can_reuse and prior.get("soak"):
+        soak, soak_events = reuse_section("soak"), 0
+    if soak_events:
+        est_soak_rep = soak_events / 130_000 + 110
+        fit = int(max((budget.remaining() - 60) // est_soak_rep, 0))
+        soak_reps = min(soak_reps, fit)
+        if not soak_reps:
+            _log("skipping soak section (budget)")
+            soak_events = 0
     if soak_events:
         prev_mem = os.environ.get("SPARK_DRIVER_MEMORY")
         os.environ["SPARK_DRIVER_MEMORY"] = os.environ.get("SPARK_GRAFT_SOAK_MEMORY", "32g")
         try:
             # median of N reps, same honesty rule as the scaling pairs — a
             # single soak sample on this shared host swung 3× between rounds
-            soak_reps = int(os.environ.get("SPARK_GRAFT_SOAK_REPS", "3"))
             soaks = sorted(
                 (run_level(cpus, soak_events, 6, mode="mor") for _ in range(soak_reps)),
                 key=lambda s: s["events_per_sec"],
@@ -573,68 +783,106 @@ def main() -> None:
                 del os.environ["SPARK_DRIVER_MEMORY"]
             else:
                 os.environ["SPARK_DRIVER_MEMORY"] = prev_mem
+    _COMPACT["soak_events_per_sec"] = soak["events_per_sec"] if soak else None
+    _COMPACT["stream_events_per_sec"] = stream["events_per_sec"] if stream else None
 
-    queries = (
-        prior["queries"] if prior and prior.get("queries") else bench_queries(sf_dir, cpus)
-    )
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    scaling = {
+        "efficiency_N_to_4N": efficiency,  # MEDIAN valid pair, normalized
+        "efficiency_best_pair": best_eff,
+        "efficiency_raw_median": raw_median,
+        "efficiency_raw_best": round(raw_eff, 3) if raw_eff is not None else None,
+        "valid_pairs": sum(1 for p in all_pairs if p["valid"]),
+        "fresh_pairs_this_run": len(pairs),
+        "host_disturbed": host_disturbed,
+        "all_pairs": all_pairs,
+    }
+    if best is not None:
+        scaling.update(
+            {
+                f"local[{lo['cores']}]": lo,
+                f"local[{hi['cores']}]": hi,
+                "hardware_parallel_ceiling": round(ceiling, 3),
+                "bandwidth_parallel_ceiling": best.get("bandwidth_ceiling"),
+                "calibration_tasks_per_sec": {
+                    f"{n_lo}_cores": cal_lo,
+                    f"{n_lo * 4}_cores": cal_hi,
+                },
+            }
+        )
     result = {
         "metric": "cdc_events_per_sec_local%d" % cpus,
-        "value": head["events_per_sec"],
+        "value": head["events_per_sec"] if head else None,
         "unit": "events/sec",
-        "cow_events_per_sec": head_cow["events_per_sec"],
+        "cow_events_per_sec": head_cow["events_per_sec"] if head_cow else None,
         "head": head,
         "head_cow": head_cow,
         "soak": soak,
         "streaming": stream,
         "queries": queries,
+        "queries_reused_from": queries_reused,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "scaling": {
-            f"local[{lo['cores']}]": lo,
-            f"local[{hi['cores']}]": hi,
-            "efficiency_N_to_4N": efficiency,  # MEDIAN valid pair, normalized
-            "efficiency_best_pair": best_eff,
-            "efficiency_raw_median": raw_median,
-            "efficiency_raw_best": round(raw_eff, 3),
-            "valid_pairs": sum(1 for p in pairs if p["valid"]),
-            "host_disturbed": host_disturbed,
-            "hardware_parallel_ceiling": round(ceiling, 3),
-            "bandwidth_parallel_ceiling": best.get("bandwidth_ceiling"),
-            "calibration_tasks_per_sec": {
-                f"{n_lo}_cores": cal_lo,
-                f"{n_lo * 4}_cores": cal_hi,
-            },
-            "all_pairs": pairs,
-        },
+        "code_fingerprint": fingerprint,
+        "bench_budget_s": budget.total,
+        "bench_elapsed_s": round(budget.elapsed(), 1),
+        "scaling": scaling,
     }
 
-    soak_row = (
-        f"| local[{soak['cores']}] (soak, 32g heap) | mor | {soak['events']} "
-        f"| {soak['wall_sec']} | {soak['events_per_sec']} |\n"
-        if soak
-        else ""
+    _write_bench_md(
+        lo=lo, hi=hi, head=head, head_cow=head_cow, soak=soak, stream=stream,
+        queries=queries, efficiency=efficiency, best_eff=best_eff,
+        raw_median=raw_median, raw_eff=raw_eff, ceiling=ceiling,
+        cal_lo=cal_lo, cal_hi=cal_hi, best=best, scored=scored,
+        all_pairs=all_pairs, max_tries=max_tries, n_events=n_events,
+        epochs=epochs, sf=sf, cpus=cpus, fingerprint=fingerprint,
     )
-    stream_row = (
-        f"| local[{stream['cores']}] (readStream→foreachBatch) | stream-mor "
-        f"| {stream['events']} | {stream['wall_sec']} | {stream['events_per_sec']} |\n"
-        if stream
-        else ""
-    )
+
+    # Full detail → BENCH.json (the driver's round artifact can pick the file
+    # up whole); stdout gets ONE compact JSON line with the contract fields —
+    # r01's line carried every calibration pair and overflowed the driver's
+    # capture window, degrading its record to an unparseable tail blob.
+    with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
+        json.dump(result, fh)
+    _emit_compact()
+
+
+def _write_bench_md(
+    *, lo, hi, head, head_cow, soak, stream, queries, efficiency, best_eff,
+    raw_median, raw_eff, ceiling, cal_lo, cal_hi, best, scored, all_pairs,
+    max_tries, n_events, epochs, sf, cpus, fingerprint,
+) -> None:
+    if best is None or head is None:
+        return  # partial emergency run: keep the last full BENCH.md
+    rows = [
+        f"| local[{lo['cores']}] (pinned) | mor | {lo['events']} | {lo['wall_sec']} | {lo['events_per_sec']} |",
+        f"| local[{hi['cores']}] (pinned) | mor | {hi['events']} | {hi['wall_sec']} | {hi['events_per_sec']} |",
+        f"| local[{head['cores']}] (headline) | mor | {head['events']} | {head['wall_sec']} | {head['events_per_sec']} |",
+    ]
+    if head_cow:
+        rows.append(
+            f"| local[{head_cow['cores']}] (headline) | cow | {head_cow['events']} | {head_cow['wall_sec']} | {head_cow['events_per_sec']} |"
+        )
+    if soak:
+        rows.append(
+            f"| local[{soak['cores']}] (soak, 32g heap) | mor | {soak['events']} "
+            f"| {soak['wall_sec']} | {soak['events_per_sec']} |"
+        )
+    if stream:
+        rows.append(
+            f"| local[{stream['cores']}] (readStream→foreachBatch) | stream-mor "
+            f"| {stream['events']} | {stream['wall_sec']} | {stream['events_per_sec']} |"
+        )
+    table = "\n".join(rows)
     qrows = "".join(f"| {k} | {v} |\n" for k, v in queries.items())
     with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
         fh.write(
-            f"""# BENCH — measured locally by bench.py
+            f"""# BENCH — measured locally by bench.py (code fingerprint {fingerprint})
 
 ## CDC replay throughput (north rule: two cluster sizes, identical input)
 
 | parallelism | mode | events | wall (s) | events/sec |
 |---|---|---|---|---|
-| local[{lo['cores']}] (pinned) | mor | {lo['events']} | {lo['wall_sec']} | {lo['events_per_sec']} |
-| local[{hi['cores']}] (pinned) | mor | {hi['events']} | {hi['wall_sec']} | {hi['events_per_sec']} |
-| local[{head['cores']}] (headline) | mor | {head['events']} | {head['wall_sec']} | {head['events_per_sec']} |
-| local[{head_cow['cores']}] (headline) | cow | {head_cow['events']} | {head_cow['wall_sec']} | {head_cow['events_per_sec']} |
-{soak_row}{stream_row}
+{table}
+
 Modes: **mor** = merge-on-read ingest (epoch appends lsn-stamped deduped
 deltas; compaction every 4 epochs *inside* the timed region plus a final
 compaction, so this is sustained operation, not an append-only burst;
@@ -647,7 +895,8 @@ dedupe shuffle + one clustered write, no table-sized rewrite.
 
 **Scaling efficiency N→4N: {efficiency}** (target ≥ 0.8 per BASELINE.json) —
 the MEDIAN of {len(scored)} host-stationary ("valid") calibrated pairs out of
-{len(pairs)} measured (best pair: {best_eff}; raw medians/best:
+{len(all_pairs)} in the pool (pairs from a prior run of byte-identical code —
+same fingerprint — carry `from_prior_run`) (best pair: {best_eff}; raw medians/best:
 {raw_median}/{round(raw_eff, 3)}), each pair platform-normalized: raw
 wall-clock efficiency divided by this VM's own parallel-scaling ceiling
 ({round(ceiling, 3)} for the best pair), measured with a
@@ -682,10 +931,11 @@ Methodology: each level runs in its own subprocess pinned with
 an N-core cluster node); a warmup replay precedes the timed region; table and
 shuffle directories live on tmpfs; calibrated (lo, hi) pairs are measured
 back-to-back until {os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")} pass the
-host-stationarity gates (at most {max_tries} attempts); the headline
-efficiency is the MEDIAN valid pair by normalized efficiency (best pair
-reported alongside — a best-of-N selection alone would flatter one lucky
-host phase).
+host-stationarity gates (at most {max_tries} attempts, and never past the
+wall-clock budget SPARK_GRAFT_BENCH_BUDGET_S — the run degrades pair count
+rather than overrunning the driver's timeout); the headline efficiency is
+the MEDIAN valid pair by normalized efficiency (best pair reported
+alongside — a best-of-N selection alone would flatter one lucky host phase).
 
 Feed: {n_events} events in {epochs} epochs, 30% hot-key skew on 3
 conversations, out-of-order window 50k, mid-stream additive schema evolution
@@ -700,27 +950,6 @@ per-partition lineage metrics, checkpoint after every epoch.
 |---|---|
 {qrows}"""
         )
-
-    # Full detail → BENCH.json (the driver's round artifact can pick the file
-    # up whole); stdout gets ONE compact JSON line with the contract fields —
-    # r01's line carried every calibration pair and overflowed the driver's
-    # capture window, degrading its record to an unparseable tail blob.
-    with open(os.path.join(REPO, "BENCH.json"), "w") as fh:
-        json.dump(result, fh)
-    compact = {
-        "metric": result["metric"],
-        "value": result["value"],
-        "unit": result["unit"],
-        "queries": queries,
-        "sf": result["sf"],
-        "scaling_efficiency_N_to_4N": efficiency,
-        "scaling_raw_median": raw_median,
-        "cow_events_per_sec": head_cow["events_per_sec"],
-        "soak_events_per_sec": soak["events_per_sec"] if soak else None,
-        "stream_events_per_sec": stream["events_per_sec"] if stream else None,
-    }
-    sys.stdout.flush()
-    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":
