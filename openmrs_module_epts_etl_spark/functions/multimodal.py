@@ -3,12 +3,13 @@
 The Spark-side plumbing — schema, partition-friendly layout, Arrow-batched
 ``mapInPandas`` UDF signatures and batch shapes — is real and tested, and so
 is the codec step for every library-free format: WAV (PCM16), BMP (24bpp),
-PPM (P6) and PNG (8-bit, stdlib zlib inflate + scanline de-filtering) are
-decoded / resized / feature-extracted for real with pure numpy
-(functions/codecs.py — no image/audio libraries needed), including a
-length-prefixed BMP frame container for video whose frame sampling extracts
-real frame payloads. Only formats whose codecs genuinely need a heavyweight
-library (jpeg/mp3/h264/...) remain stubbed: decode attempts a real backend
+PPM (P6), PNG (8-bit, stdlib zlib inflate + scanline de-filtering) and
+baseline JPEG (pure-numpy DCT + Huffman, T.81) are decoded / resized /
+feature-extracted for real with pure numpy (functions/codecs.py — no
+image/audio libraries needed), including a length-prefixed BMP frame
+container for video whose frame sampling extracts real frame payloads. Only
+formats whose codecs genuinely need a heavyweight library (mp3/h264/...)
+remain stubbed: decode attempts a real backend
 (PIL) via import-try and otherwise produces a **deterministic fake decode**
 (feature bytes derived from the payload hash). Passing ``require_real=True``
 raises ``NotImplementedError`` for exactly those formats, marking where a
@@ -100,7 +101,8 @@ def synthesize_real_media(spark: SparkSession, n: int, seed: int = 42) -> DataFr
                         (codecs.encode_bmp, "image/bmp"),
                         (codecs.encode_ppm, "image/ppm"),
                         (codecs.encode_png, "image/png"),
-                    ][(int(mid) // 3) % 3]
+                        (codecs.encode_jpeg, "image/jpeg"),
+                    ][(int(mid) // 3) % 4]
                     vals = ("image", enc[0](px), enc[1], w, h, None, None)
                 elif pick == 1:        # audio: WAV
                     sr = 16_000
@@ -132,7 +134,9 @@ def synthesize_real_media(spark: SparkSession, n: int, seed: int = 42) -> DataFr
     return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-_REAL_FORMATS = {"image/bmp", "image/ppm", "image/png", "audio/wav", "video/bmpseq"}
+_REAL_FORMATS = {
+    "image/bmp", "image/ppm", "image/png", "image/jpeg", "audio/wav", "video/bmpseq",
+}
 
 
 def _real_image_backend():
@@ -174,6 +178,8 @@ def _decode_one(data: bytes, fmt: str):
         return codecs.decode_ppm(data)
     if fmt == "image/png":
         return codecs.decode_png(data)
+    if fmt == "image/jpeg":
+        return codecs.decode_jpeg(data)
     if fmt == "video/bmpseq":
         import struct as _struct
 
@@ -203,8 +209,8 @@ def _features_one(data: bytes | None, fmt: str) -> list | None:
 
 def extract_features(df: DataFrame, require_real: bool = False) -> DataFrame:
     """media → (media_id, kind, n_bytes, features[16]) via Arrow-batched
-    mapInPandas. REAL decode for wav/bmp/ppm/bmpseq payloads (pure numpy,
-    functions/codecs.py); other formats are the stub boundary —
+    mapInPandas. REAL decode for wav/bmp/ppm/png/jpeg/bmpseq payloads (pure
+    numpy, functions/codecs.py); other formats are the stub boundary —
     ``require_real=True`` rejects them unless a real backend (PIL) exists."""
     backend = _real_image_backend()
 
@@ -215,8 +221,8 @@ def extract_features(df: DataFrame, require_real: bool = False) -> DataFrame:
                 if bad:
                     raise NotImplementedError(
                         f"no real codec for {sorted(bad)} (PIL not installed); "
-                        "wav/bmp/ppm/bmpseq decode for real, or run with "
-                        "require_real=False (deterministic fake)"
+                        "wav/bmp/ppm/png/jpeg/bmpseq decode for real, or run "
+                        "with require_real=False (deterministic fake)"
                     )
             feats = [
                 _features_one(d, f) for d, f in zip(pdf["data"], pdf["format"])
@@ -234,7 +240,7 @@ def extract_features(df: DataFrame, require_real: bool = False) -> DataFrame:
 
 
 def resize_images(df: DataFrame, width: int, height: int, require_real: bool = False) -> DataFrame:
-    """Image resize. bmp/ppm/png payloads are REALLY resampled (nearest-
+    """Image resize. bmp/ppm/png/jpeg payloads are REALLY resampled (nearest-
     neighbor, pure numpy) and re-encoded; other image formats keep their payload and
     only re-stamp geometry (the stub) — rejected under ``require_real``
     unless a real backend (PIL) exists."""
@@ -266,6 +272,9 @@ def resize_images(df: DataFrame, width: int, height: int, require_real: bool = F
                 elif fmt == "image/png":
                     px = codecs.resize_nearest(codecs.decode_png(out.at[i, "data"]), width, height)
                     new_data.append(codecs.encode_png(px))
+                elif fmt == "image/jpeg":
+                    px = codecs.resize_nearest(codecs.decode_jpeg(out.at[i, "data"]), width, height)
+                    new_data.append(codecs.encode_jpeg(px))
                 else:
                     new_data.append(out.at[i, "data"])  # stub: payload unchanged
             out["data"] = new_data

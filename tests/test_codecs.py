@@ -1,7 +1,8 @@
 """Real pure-numpy codecs (functions/codecs.py) and their multimodal wiring:
-WAV/BMP/PPM round-trips, nearest-neighbor resize, feature extraction on real
-decoded content, and real frame extraction from the bmpseq video container.
-Only compressed formats remain behind the declared stub boundary."""
+WAV/BMP/PPM/PNG/JPEG round-trips, nearest-neighbor resize, feature extraction
+on real decoded content, and real frame extraction from the bmpseq video
+container. Only formats needing heavyweight libraries (mp3/h264/...) remain
+behind the declared stub boundary."""
 
 from __future__ import annotations
 
@@ -158,12 +159,74 @@ def test_png_rejects_garbage_and_unsupported():
         codecs.decode_png(png)
 
 
+# ------------------------------------------------------------------- JPEG
+
+
+def _gradient(h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(yy * 3 + xx * 2) % 256, (xx * 4) % 256, (yy * 5) % 256],
+                    axis=-1).astype(np.uint8)
+
+
+@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("restart_interval", [0, 3])
+def test_jpeg_roundtrip_smooth(subsampling, restart_interval):
+    # 37x53: exercises MCU padding on both axes for 8- and 16-px MCUs
+    px = _gradient(37, 53)
+    payload = codecs.encode_jpeg(
+        px, quality=95, subsampling=subsampling, restart_interval=restart_interval
+    )
+    out = codecs.decode_jpeg(payload)
+    assert out.shape == px.shape
+    err = np.abs(out.astype(int) - px.astype(int)).mean()
+    assert err < (2.0 if subsampling == "444" else 4.0), err
+
+
+def test_jpeg_flat_color_is_near_exact():
+    px = np.full((16, 24, 3), 130, np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=75))
+    assert np.abs(out.astype(int) - 130).max() <= 1
+
+
+def test_jpeg_grayscale_single_component():
+    g = (np.arange(29 * 41).reshape(29, 41) % 251).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(g, quality=95))
+    assert out.shape == (29, 41, 3)
+    assert (out[:, :, 0] == out[:, :, 1]).all() and (out[:, :, 0] == out[:, :, 2]).all()
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).mean() < 2.0
+
+
+def test_jpeg_quality_monotonic_size():
+    px = _gradient(32, 32)
+    sizes = [len(codecs.encode_jpeg(px, quality=q)) for q in (30, 60, 90)]
+    assert sizes == sorted(sizes)
+
+
+def test_jpeg_rejects_garbage_and_progressive():
+    with pytest.raises(ValueError, match="SOI"):
+        codecs.decode_jpeg(b"definitely-not-a-jpeg-payload")
+    good = bytearray(codecs.encode_jpeg(_gradient(8, 8)))
+    sof = good.find(b"\xff\xc0")
+    good[sof + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF2"):
+        codecs.decode_jpeg(bytes(good))
+
+
+def test_jpeg_byte_stuffing_survives():
+    # saturated blocks force 0xFF bytes into the entropy stream
+    rng = np.random.default_rng(3)
+    px = (rng.integers(0, 2, (24, 24, 3)) * 255).astype(np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=100))
+    assert out.shape == px.shape
+
+
 # ------------------------------------------------------------ spark wiring
 
 _DECODERS = {
     "image/bmp": codecs.decode_bmp,
     "image/ppm": codecs.decode_ppm,
     "image/png": codecs.decode_png,
+    "image/jpeg": codecs.decode_jpeg,
 }
 
 
@@ -187,6 +250,9 @@ def test_synthesize_real_media_payloads_decode(real_media):
             assert px.shape == (r["height"], r["width"], 3)
         elif r["format"] == "image/png":
             px = codecs.decode_png(bytes(r["data"]))
+            assert px.shape == (r["height"], r["width"], 3)
+        elif r["format"] == "image/jpeg":
+            px = codecs.decode_jpeg(bytes(r["data"]))
             assert px.shape == (r["height"], r["width"], 3)
         elif r["format"] == "audio/wav":
             x, rate = codecs.decode_wav(bytes(r["data"]))
@@ -287,3 +353,15 @@ def test_resize_property_shape_and_value_membership(px, w, h):
     # nearest-neighbor only selects existing pixels
     src = {tuple(p) for p in px.reshape(-1, 3)}
     assert all(tuple(p) in src for p in out.reshape(-1, 3))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    arrays(np.uint8, st.tuples(st.integers(1, 16), st.integers(1, 16), st.just(3))),
+    st.sampled_from(["444", "420"]),
+)
+def test_jpeg_decodes_whatever_encoder_emits(px, subsampling):
+    # lossy: assert structure, not values — exactness covered by the smooth
+    # and flat-color tests above
+    out = codecs.decode_jpeg(codecs.encode_jpeg(px, quality=95, subsampling=subsampling))
+    assert out.shape == px.shape and out.dtype == np.uint8
