@@ -467,10 +467,11 @@ def main() -> None:
     signal.signal(signal.SIGINT, _on_term)
     # Wall-clock budget (seconds). The driver runs bench.py under a hard
     # timeout it does not publish; round 2 overran it (rc=124 → no parsed
-    # result at all). Default sized so a from-cold run finishes comfortably
-    # inside the observed round-1 window; the builder's own exhaustive runs
-    # set it high explicitly.
-    budget = Budget(float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2100")))
+    # result at all). Default sized against the only hard evidence about the driver's unpublished
+    # timeout: round 1's ~30-min protocol survived, round 2's ~90-min one did not.
+    # 1500s keeps a from-cold run strictly inside the proven-safe window; the
+    # SIGTERM handler still flushes a partial JSON line if the driver kills us.
+    budget = Budget(float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500")))
     fingerprint = _code_fingerprint()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(TOTAL_CPUS)))

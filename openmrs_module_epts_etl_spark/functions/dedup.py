@@ -339,6 +339,70 @@ def contaminated_ids(
     )
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components over an undirected pair list → ``(id, comp)`` for
+    every id appearing in ``pairs``, where ``comp`` is the minimum id in the
+    node's component (so the label doubles as the canonical-representative
+    pick for dedup clusters).
+
+    Scale shape: hash-to-min label propagation with per-round pointer
+    jumping. Each round is (a) one shuffle join edges⋈labels + min-groupBy to
+    pull the smallest neighbor label, then (b) one label⋈label self-join that
+    rewrites every label to its label's label (path compression), so label
+    trees halve in height every round and convergence is O(log diameter)
+    rounds — near-dup clusters are dense (diameter 2-4), so 2-3 rounds in
+    practice. Labels are always real node ids (min over a set of ids), which
+    is what makes the compression join total. ``localCheckpoint`` truncates
+    the per-round lineage so the plan does not grow with iterations; the
+    convergence check is a count of changed labels (0 → done). Everything is
+    min-based, hence deterministic at any parallelism.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    comp = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(F.col("src").alias("id"), F.least("src", "m").alias("comp"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                comp.select(F.col("id").alias("dst"), F.col("comp").alias("c")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("c").alias("nc"))
+            .select(F.col("src").alias("id"), "nc")
+        )
+        lowered = comp.join(nbr, "id", "left").select(
+            "id", F.least("comp", F.coalesce("nc", "comp")).alias("comp")
+        )
+        jumped = (
+            lowered.join(
+                lowered.select(F.col("id").alias("comp"), F.col("comp").alias("cc")),
+                "comp",
+            )
+            .select("id", F.col("cc").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.join(comp.withColumnRenamed("comp", "prev"), "id")
+            .filter(F.col("comp") != F.col("prev"))
+            .count()
+        )
+        comp = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return comp
+
+
 def sum_ints(cols: list[Column]) -> Column:
     out = cols[0]
     for c in cols[1:]:

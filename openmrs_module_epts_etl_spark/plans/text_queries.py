@@ -13,6 +13,7 @@ from ..functions.dedup import (
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
     _POLY_M,
+    connected_components,
     contaminated_ids,
     exact_dedup,
     lsh_candidate_pairs,
@@ -309,12 +310,14 @@ def near_dup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _near_dup_jaccard_sql(
+def _near_dup_pairs_ctes(
     num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4,
     n: int = 3, min_j: float = 0.5,
 ) -> str:
     """Shared LSH-candidates CTE chain (_lsh_cand_ctes) + exact Jaccard
-    verification restricted to those candidates."""
+    verification restricted to those candidates, ending in
+    ``dup_pairs(id_a, id_b, jaccard)`` — shared by the pair oracle and the
+    components oracle so the threshold arithmetic cannot diverge."""
     return _lsh_cand_ctes(num_hashes, bands, rows_per_band, n) + f""",
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     shared AS (
@@ -322,11 +325,79 @@ def _near_dup_jaccard_sql(
       FROM cand c
       JOIN sh a ON a.doc_id = c.id_a
       JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-      GROUP BY 1, 2)
-    SELECT id_a, id_b,
-           ROUND(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
-    FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-    WHERE shared / (sa.sz + sb.sz - shared) >= {min_j}"""
+      GROUP BY 1, 2),
+    dup_pairs AS (
+      SELECT id_a, id_b, ROUND(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+      FROM shared JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      WHERE shared / (sa.sz + sb.sz - shared) >= {min_j})"""
+
+
+def _near_dup_jaccard_sql(
+    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4,
+    n: int = 3, min_j: float = 0.5,
+) -> str:
+    return _near_dup_pairs_ctes(num_hashes, bands, rows_per_band, n, min_j) + (
+        "\n    SELECT id_a, id_b, jaccard FROM dup_pairs"
+    )
+
+
+def _near_dup_components_sql(
+    num_hashes: int = 16, bands: int = 4, rows_per_band: int = 4,
+    n: int = 3, min_j: float = 0.5,
+) -> str:
+    """Connected components over dup_pairs as a recursive CTE: labels walk
+    the (symmetrized) dup edges until fixpoint, min reachable id = the
+    component. Base case seeds EVERY document with its own id, so isolated
+    docs come out as singleton components. The WITH keyword of the shared
+    chain is upgraded to WITH RECURSIVE (DuckDB allows non-recursive CTEs in
+    a RECURSIVE chain)."""
+    ctes = _near_dup_pairs_ctes(num_hashes, bands, rows_per_band, n, min_j)
+    ctes = ctes.replace("WITH ", "WITH RECURSIVE ", 1)
+    return ctes + """,
+    dup_edges AS (
+      SELECT id_a AS src, id_b AS dst FROM dup_pairs
+      UNION SELECT id_b, id_a FROM dup_pairs),
+    walk(id, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN dup_edges e ON e.src = w.id),
+    comp AS (
+      SELECT id AS doc_id, MIN(label) AS component FROM walk GROUP BY id)
+    SELECT c.doc_id, c.component,
+           COUNT(*) OVER (PARTITION BY c.component) AS cluster_size,
+           CAST(c.doc_id = c.component AS INT) AS is_canonical
+    FROM comp c"""
+
+
+def near_dup_components_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The last stage of the dedup pipeline: LSH candidates → exact-Jaccard
+    verify (near_dup_jaccard) → connected components → one canonical doc per
+    cluster (min doc_id). Output is the full keep/drop assignment table a
+    training-data pipeline consumes: every doc gets its component label,
+    cluster size, and an is_canonical flag. The component loop shuffles only
+    the PAIR list (candidate-bounded, never corpus-sized); the corpus joins
+    in once at the end, and the cluster_size window is one exchange keyed by
+    component."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    pairs = near_dup_jaccard(
+        docs, "doc_id", "text", n=3, min_jaccard=0.5,
+        num_hashes=16, bands=4, rows_per_band=4,
+    )
+    comp = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("component"))
+    )
+    w = Window.partitionBy("component")
+    return assigned.select(
+        "doc_id",
+        "component",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_canonical"),
+    )
 
 
 def simhash_signatures_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -517,6 +588,7 @@ QUERIES = {
     "minhash_signatures_16": minhash_signatures_q,
     "ngram_jaccard_pairs": ngram_jaccard_q,
     "near_dup_jaccard_pairs": near_dup_jaccard_q,
+    "near_dup_components": near_dup_components_q,
     "simhash_signatures": simhash_signatures_q,
     "simhash_near_dups": simhash_near_dups_q,
     "minhash_lsh_candidates": minhash_lsh_candidates_q,
@@ -533,6 +605,7 @@ ORACLES = {
     "minhash_signatures_16": _minhash_sql(16, 3),
     "ngram_jaccard_pairs": _ngram_jaccard_sql(3, 0.5),
     "near_dup_jaccard_pairs": _near_dup_jaccard_sql(16, 4, 4, 3, 0.5),
+    "near_dup_components": _near_dup_components_sql(16, 4, 4, 3, 0.5),
     "simhash_signatures": _simhash_sql(3, 42),
     "simhash_near_dups": _simhash_near_dups_sql(3, 42, 3),
     "minhash_lsh_candidates": _lsh_candidates_sql(16, 4, 4, 3),

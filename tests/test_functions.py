@@ -199,3 +199,36 @@ def test_redact_pii_patterns(spark):
     assert (out[0].email, out[0].ipv4, out[0].phone) == (1, 1, 1)
     assert out[1].r == "no pii at all"
     assert out[2].r == "ip <IP> still redacts as dotted quad"
+
+
+def test_connected_components_two_clusters(spark):
+    from openmrs_module_epts_etl_spark.functions.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, exercises multi-round convergence),
+    # triangle 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    from openmrs_module_epts_etl_spark.functions.dedup import connected_components
+
+    # path graph 0-1-2-...-40: diameter 40, must still converge well inside
+    # max_iter thanks to pointer jumping (O(log n) rounds)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs, max_iter=10).collect()
+    assert len(rows) == 41
+    assert {r["comp"] for r in rows} == {0}
+
+
+def test_connected_components_empty(spark):
+    from openmrs_module_epts_etl_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0
