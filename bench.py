@@ -422,6 +422,7 @@ HEADLINE = [
     "pii_redaction",
     "doc_repetition",
     "near_dup_jaccard_pairs",
+    "near_dup_components",
     "user_state_scd2",
     "ann_ivf_topk",
 ]
@@ -533,6 +534,21 @@ def main() -> None:
             sec = {**sec, "reused_from": prior_fp, "reused_exact_match": fp_match}
         return sec
 
+    # Reuse is gated on COMPLETENESS and provenance, not mere presence: a
+    # budget-truncated run writes a partial queries dict, and a too-tight
+    # budget substitutes the scaling pair's hi level (tagged "source") for
+    # the headline — republishing either verbatim would freeze a degraded
+    # artifact forever. Only full-machine, un-truncated sections qualify.
+    def _queries_full(q) -> bool:
+        return isinstance(q, dict) and all(k in q for k in HEADLINE)
+
+    def _level_full(sec) -> bool:
+        return (
+            isinstance(sec, dict)
+            and sec.get("cores") == cpus
+            and "source" not in sec
+        )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     _COMPACT.update(
         {
@@ -557,8 +573,8 @@ def main() -> None:
     # pair replaces the pair estimate
     est_feedgen = n_events / 150_000 + 50
     est_head_rep = head_events / 140_000 + 80
-    est_queries = 0 if (can_reuse and prior.get("queries")) else 450
-    est_head = 0 if (can_reuse and prior.get("head")) else est_head_rep
+    est_queries = 0 if (can_reuse and _queries_full(prior.get("queries"))) else 450
+    est_head = 0 if (can_reuse and _level_full(prior.get("head"))) else est_head_rep
 
     def reserve() -> float:
         # the mandatory post-scaling sections (queries = driver contract,
@@ -687,7 +703,7 @@ def main() -> None:
 
     # ---- queries (driver contract) -----------------------------------------
     queries_reused = None
-    if can_reuse and prior.get("queries"):
+    if can_reuse and _queries_full(prior.get("queries")):
         queries = dict(prior["queries"])
         queries_reused = prior_fp
     else:
@@ -710,7 +726,7 @@ def main() -> None:
         med["all_reps_events_per_sec"] = [s["events_per_sec"] for s in runs]
         return med
 
-    if can_reuse and prior.get("head"):
+    if can_reuse and _level_full(prior.get("head")):
         head = reuse_section("head")
     else:
         fit = int(max((budget.remaining() - 90) // est_head_rep, 0))
@@ -723,7 +739,7 @@ def main() -> None:
     _COMPACT["value"] = head["events_per_sec"] if head else None
 
     est_cow_rep = head_events / 110_000 + 80
-    if can_reuse and prior.get("head_cow"):
+    if can_reuse and _level_full(prior.get("head_cow")):
         head_cow = reuse_section("head_cow")
     else:
         fit = int(max((budget.remaining() - 60) // est_cow_rep, 0))
@@ -738,7 +754,7 @@ def main() -> None:
     # Structured Streaming topology (readStream → foreachBatch MoR):
     # the north-star deployment shape, measured on the full machine
     stream = None
-    if can_reuse and prior.get("streaming"):
+    if can_reuse and _level_full(prior.get("streaming")):
         stream, stream_events = reuse_section("streaming"), 0
     if stream_events and budget.remaining() < stream_events / 200_000 + 120:
         _log("skipping streaming section (budget)")
@@ -758,7 +774,7 @@ def main() -> None:
 
     soak = None
     soak_reps = int(os.environ.get("SPARK_GRAFT_SOAK_REPS", "3"))
-    if can_reuse and prior.get("soak"):
+    if can_reuse and _level_full(prior.get("soak")):
         soak, soak_events = reuse_section("soak"), 0
     if soak_events:
         est_soak_rep = soak_events / 130_000 + 110

@@ -268,16 +268,30 @@ def decode_png(payload: bytes) -> np.ndarray:
         elif f in (3, 4):  # Average / Paeth: sequential in x by definition
             # mod 256 at EVERY reconstructed byte — these predictors are
             # nonlinear (floor div / min-select), unlike Sub/Up where one
-            # final mod is equivalent
-            row = np.zeros(stride, np.int32)
-            for x in range(stride):
-                a = row[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if f == 3:
-                    row[x] = (cur[x] + (a + b) // 2) % 256
-                else:
-                    c = prev[x - bpp] if x >= bpp else 0
-                    row[x] = (cur[x] + _paeth_predictor(a, b, c)) % 256
+            # final mod is equivalent. Pure-int Python recurrence: numpy
+            # scalar ufuncs per byte cost ~µs each, and libpng-produced
+            # files are mostly Average/Paeth rows — this loop IS the decode
+            # hot path, so it stays in plain ints (all operands ≥ 0 here,
+            # so (a+b)>>1 and &255 are exact).
+            cur_l = cur.tolist()
+            prev_l = prev.tolist()
+            row_l = [0] * stride
+            if f == 3:
+                for x in range(stride):
+                    a = row_l[x - bpp] if x >= bpp else 0
+                    row_l[x] = (cur_l[x] + ((a + prev_l[x]) >> 1)) & 255
+            else:
+                for x in range(stride):
+                    a = row_l[x - bpp] if x >= bpp else 0
+                    b = prev_l[x]
+                    c = prev_l[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa = p - a if p >= a else a - p
+                    pb = p - b if p >= b else b - p
+                    pc = p - c if p >= c else c - p
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    row_l[x] = (cur_l[x] + pred) & 255
+            row = np.asarray(row_l, np.int32)
         else:
             raise ValueError(f"bad PNG filter type {f} on line {y}")
         prev = row % 256
@@ -763,12 +777,17 @@ def _jpeg_decode_scan(frame, scan, qtabs, htabs, restart_interval, segs) -> np.n
         plane = (
             blocks.reshape(by, bx, 8, 8).transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         )
-        # crop to the component's true extent, then replicate up to full size
+        # crop to the component's true extent, then expand to full size with
+        # index maps (out[y,x] = plane[y·v÷vmax, x·h÷hmax]) — exact for ANY
+        # spec-legal sampling factors, including ones that don't divide
+        # hmax/vmax (e.g. 3:2), where integer np.repeat factors would build
+        # wrong-sized planes
         cw = -(-w * comp["h"] // hmax)
         ch = -(-h * comp["v"] // vmax)
         plane = plane[:ch, :cw]
-        plane = np.repeat(np.repeat(plane, vmax // comp["v"], 0), hmax // comp["h"], 1)
-        planes.append(plane[:h, :w])
+        yi = np.arange(h) * comp["v"] // vmax
+        xi = np.arange(w) * comp["h"] // hmax
+        planes.append(plane[yi][:, xi])
     if len(planes) == 1:
         gray = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(gray[:, :, None], 3, axis=2)

@@ -21,6 +21,10 @@ Scale design notes
 
 from __future__ import annotations
 
+import os
+import re
+import urllib.parse
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -61,6 +65,37 @@ def poly_combine(cols: list[Column]) -> Column:
     return acc
 
 
+def _scan_splits(df: DataFrame) -> int | None:
+    """Metadata-only estimate of a file-backed frame's scan-task count:
+    Spark packs files into splits of ``spark.sql.files.maxPartitionBytes``,
+    so splits ≈ Σ ceil(file_size / maxPartitionBytes). Returns None when the
+    frame isn't file-backed or a size can't be stat'ed (non-local scheme) —
+    callers fall back to the exact-but-costlier partition probe."""
+    files = df.inputFiles()
+    if not files:
+        return None
+    raw = str(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    ).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmg]?)b?", raw)
+    if not m:
+        return None
+    maxpb = int(m.group(1)) * {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3}[
+        m.group(2)
+    ]
+    splits = 0
+    for f in files:
+        p = urllib.parse.urlparse(f)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            size = os.path.getsize(urllib.parse.unquote(p.path) or f)
+        except OSError:
+            return None
+        splits += max(1, -(-size // max(maxpb, 1)))
+    return splits
+
+
 def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) rows: distinct word-level n-grams of
     whitespace-normalized, lowercased text. Documents shorter than n words
@@ -72,15 +107,17 @@ def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> Data
     D docs × S shingles would otherwise exchange D·S strings just to dedupe
     what is already per-document data)."""
     # Shingling fans each doc out ~|words| rows — CPU-heavy row generation.
-    # A small corpus arriving as one parquet split would run it single-task;
-    # spread the docs first when the input has fewer file splits than the
-    # session has slots. inputFiles() is metadata-only (plan traversal) —
-    # unlike df.rdd.getNumPartitions(), which forces a DF→RDD conversion on
-    # the driver per call. At real scale file splits already provide the
-    # parallelism and this is a no-op; non-file-backed frames (empty
-    # inputFiles) keep their existing distribution.
+    # A small corpus arriving in one task would run it serially; spread the
+    # docs first when the scan has fewer tasks than the session has slots.
+    # File COUNT is not task count (one 2 GB parquet file splits into many
+    # scan tasks), so estimate splits from file sizes at maxPartitionBytes
+    # granularity — pure metadata. Only non-file-backed frames (in-memory /
+    # mapInPandas outputs, rare and small) pay the DF→RDD partition probe.
     par = df.sparkSession.sparkContext.defaultParallelism
-    if 0 < len(df.inputFiles()) < par:
+    splits = _scan_splits(df)
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < par:
         df = df.repartition(par, F.col(id_col))
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     words = F.split(norm, " ")

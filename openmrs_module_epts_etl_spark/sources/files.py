@@ -148,8 +148,13 @@ def transport_batches(export_dir: str, import_dir: str, backup_dir: str | None =
     moved = []
     for batch in sorted(os.listdir(export_dir)):
         src = os.path.join(export_dir, batch)
-        if not os.path.isdir(src) or ".tmp-" in batch or batch.endswith(".bad"):
-            continue  # .bad = quarantined below; skipped on reruns too
+        if (
+            not os.path.isdir(src)
+            or ".tmp-" in batch
+            or batch.endswith(".bad")
+            or ".bad." in batch
+        ):
+            continue  # .bad / .bad.N = quarantined below; skipped on reruns too
         mpath = os.path.join(src, "_minimal.json")
         if not os.path.exists(mpath):
             raise FileNotFoundError(f"batch {batch} has no _minimal manifest — not transporting")
@@ -169,8 +174,16 @@ def transport_batches(export_dir: str, import_dir: str, backup_dir: str | None =
             # rows missing/corrupt (older producer, truncated manifest) but
             # the directory still holds part-files: data we cannot validate
             # is quarantined, never destroyed — rename to <batch>.bad and
-            # keep transporting the rest
-            os.rename(src, src + ".bad")
+            # keep transporting the rest. A re-exported batch with the same
+            # deterministic name can hit an occupied .bad target (os.rename
+            # onto a non-empty dir raises, which would strand every later
+            # batch), so probe for the first free .bad/.bad.N suffix.
+            quarantine = src + ".bad"
+            n = 0
+            while os.path.exists(quarantine):
+                n += 1
+                quarantine = f"{src}.bad.{n}"
+            os.rename(src, quarantine)
             continue
         dst = os.path.join(import_dir, batch)
         if os.path.exists(dst):

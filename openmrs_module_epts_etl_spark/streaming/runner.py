@@ -112,7 +112,15 @@ class StreamingCdcRunner:
 
     # fence sub-epoch id = micro_batch_epoch * STRIDE + slice_index: unique as
     # long as one micro-batch never needs 2^20 slices (guarded below), and a
-    # replayed micro-batch regenerates the identical ids so the fence holds
+    # replayed micro-batch regenerates the identical ids so the fence holds.
+    # Sliced ids live in their own fence namespace (fence_key + "-sliced"):
+    # epoch 0's slices are 0*STRIDE+i = 0..k, which would collide with PLAIN
+    # epoch ids 1..k if the operator later removes the trigger cap on the same
+    # checkpoint — sharing a namespace would silently fence out (drop) those
+    # real micro-batches. Disjoint namespaces make false "already applied"
+    # impossible; the reverse direction (a config flip re-applying an overlap
+    # once) is a no-op by the lsn guard / latest-wins compaction, which the
+    # replay-idempotence tests pin down.
     _SLICE_STRIDE = 1 << 20
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
@@ -122,29 +130,41 @@ class StreamingCdcRunner:
             self._apply_slice(batch, int(epoch_id))
         else:
             w = int(self.max_offsets_per_trigger)
-            lo = batch.agg(F.min("lsn")).first()[0]
-            if lo is None:
-                return  # empty micro-batch
-            # non-empty lsn windows only — one metadata-bounded agg (at most
-            # span/w indices; with a sanely sized cap that is a handful)
-            idx = sorted(
-                r[0]
-                for r in batch.select(
-                    ((F.col("lsn") - F.lit(lo)) / w).cast("long").alias("i")
+            # one materialization: the min agg, the window-index distinct and
+            # every per-slice filter below otherwise each rescan the trigger's
+            # source files (k+2 reads of the same input per micro-batch)
+            batch = batch.persist()
+            try:
+                lo = batch.agg(F.min("lsn")).first()[0]
+                if lo is None:
+                    return  # empty micro-batch
+                # non-empty lsn windows only — one metadata-bounded agg (at
+                # most span/w indices; with a sane cap that is a handful)
+                idx = sorted(
+                    r[0]
+                    for r in batch.select(
+                        ((F.col("lsn") - F.lit(lo)) / w).cast("long").alias("i")
+                    )
+                    .distinct()
+                    .collect()
                 )
-                .distinct()
-                .collect()
-            )
-            if idx and idx[-1] >= self._SLICE_STRIDE:
-                raise ValueError(
-                    f"micro-batch spans {idx[-1] + 1} lsn windows of {w}; "
-                    "raise max_offsets_per_trigger or shrink maxFilesPerTrigger"
-                )
-            for i in idx:
-                sl = batch.filter(
-                    (F.col("lsn") >= lo + i * w) & (F.col("lsn") < lo + (i + 1) * w)
-                )
-                self._apply_slice(sl, int(epoch_id) * self._SLICE_STRIDE + i)
+                if idx and idx[-1] >= self._SLICE_STRIDE:
+                    raise ValueError(
+                        f"micro-batch spans {idx[-1] + 1} lsn windows of {w}; "
+                        "raise max_offsets_per_trigger or shrink maxFilesPerTrigger"
+                    )
+                for i in idx:
+                    sl = batch.filter(
+                        (F.col("lsn") >= lo + i * w)
+                        & (F.col("lsn") < lo + (i + 1) * w)
+                    )
+                    self._apply_slice(
+                        sl,
+                        int(epoch_id) * self._SLICE_STRIDE + i,
+                        fence_suffix="-sliced",
+                    )
+            finally:
+                batch.unpersist()
         # compaction cadence stays at micro-batch granularity regardless of
         # slicing (it has its own fence, so replays stay no-ops)
         if self.mode == "mor" and self.compact_every and (
@@ -158,13 +178,16 @@ class StreamingCdcRunner:
                 fence_key=self.fence_key + "-compact", epoch_id=int(epoch_id),
             )
 
-    def _apply_slice(self, batch, fence_epoch: int) -> None:
+    def _apply_slice(
+        self, batch, fence_epoch: int, fence_suffix: str = ""
+    ) -> None:
         table = LakeTable(batch.sparkSession, self.table_path)
+        fence_key = self.fence_key + fence_suffix
         if self.mode == "mor":
             from ..cdc.mor import append_delta
 
             res = append_delta(
-                table, batch, key=list(self.key), fence_key=self.fence_key,
+                table, batch, key=list(self.key), fence_key=fence_key,
                 epoch_id=fence_epoch,
             )
         else:
@@ -172,7 +195,7 @@ class StreamingCdcRunner:
                 table,
                 batch,
                 key=self.key,
-                fence_key=self.fence_key,
+                fence_key=fence_key,
                 epoch_id=fence_epoch,
                 policy=self.policy,
             )

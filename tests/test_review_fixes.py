@@ -146,3 +146,42 @@ def test_conversation_stats_duration_dst_proof(spark):
         assert row["duration_us"] == 2 * 3600 * 1_000_000  # naive diff, no DST shift
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_quarantine_rename_collision_gets_fresh_suffix(tmp_path):
+    """A re-exported batch with the same deterministic name as an existing
+    quarantine must land in .bad.1 (os.rename onto a non-empty dir raises,
+    which would strand every later batch), and reruns must skip both."""
+    export = str(tmp_path / "export")
+    imp = str(tmp_path / "import")
+    os.makedirs(export)
+
+    def make_bad_batch():
+        d = os.path.join(export, "b-0042")
+        os.makedirs(d)
+        with open(os.path.join(d, "_minimal.json"), "w") as fh:
+            fh.write('{"batch": "b-0042", "files": ["part-00000.json"]}')
+        with open(os.path.join(d, "part-00000.json"), "w") as fh:
+            fh.write('{"id": 1}\n')
+
+    make_bad_batch()
+    assert transport_batches(export, imp) == []
+    assert os.path.isdir(os.path.join(export, "b-0042.bad"))
+
+    # same batch name re-exported, again unverifiable, plus a later valid
+    # batch that must still transport
+    make_bad_batch()
+    ok = os.path.join(export, "c-0001")
+    os.makedirs(ok)
+    with open(os.path.join(ok, "_minimal.json"), "w") as fh:
+        fh.write('{"batch": "c-0001", "files": ["part-00000.json"], "rows": 1}')
+    with open(os.path.join(ok, "part-00000.json"), "w") as fh:
+        fh.write('{"id": 2}\n')
+
+    moved = transport_batches(export, imp)
+    assert [b["batch"] for b in moved] == ["c-0001"]
+    assert os.path.isdir(os.path.join(export, "b-0042.bad"))
+    assert os.path.isdir(os.path.join(export, "b-0042.bad.1"))
+    # rerun: nothing re-quarantined, nothing re-transported
+    assert transport_batches(export, imp) == []
+    assert not os.path.exists(os.path.join(export, "b-0042.bad.1.bad"))

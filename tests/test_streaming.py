@@ -287,3 +287,45 @@ def test_suppress_redelivery_dedupes_by_lsn(spark, tmp_path, feed_dir):
     runner.run_available_now()
     feed_pd = spark.read.parquet(feed_dir).drop("delivery_seq", "__batch").toPandas()
     assert_state_matches(t.refresh(), feed_pd, ["role", "text", "tool", "ts"])
+
+
+def test_trigger_cap_removal_does_not_fence_out_new_batches(spark, tmp_path, feed_dir):
+    """Fence-namespace regression: sliced sub-epoch ids for micro-batch 0 are
+    0·STRIDE+i = 0..k. If they shared the plain-epoch fence namespace, an
+    operator removing max_offsets_per_trigger on the SAME checkpoint would
+    see later micro-batches (epoch ids 1..k) as "already applied" and
+    silently drop real events. Sliced fences live under fence_key+"-sliced",
+    so the plain namespace stays clean and every new batch applies."""
+    files = sorted(glob.glob(os.path.join(feed_dir, "**", "*.parquet"), recursive=True))
+    assert len(files) >= 4
+    stage = str(tmp_path / "stagedfeed")
+    os.makedirs(stage)
+    for i, f in enumerate(files[:2]):
+        shutil.copy(f, os.path.join(stage, f"f{i:04d}.parquet"))
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), transcript_schema(), [days("ts"), bucket(8, "conv_id")]
+    )
+    ck = str(tmp_path / "ck")
+    # phase 1: capped — micro-batch 0 splits into several lsn-window slices,
+    # so fence ids 0..k are recorded for this checkpoint's epoch 0
+    r1 = _runner(spark, stage, t.path, ck)
+    r1.max_files_per_trigger = 100  # everything present in one micro-batch
+    r1.max_offsets_per_trigger = 300
+    out1 = r1.run_available_now()
+    assert len(out1) >= 3  # epoch 0 really was sliced (ids 0,1,2,... issued)
+    assert any(sum(r.applied.values()) for r in out1)
+
+    # phase 2: operator removes the cap; NEW files arrive as epochs 1,2,...
+    for i, f in enumerate(files[2:]):
+        shutil.copy(f, os.path.join(stage, f"g{i:04d}.parquet"))
+    r2 = _runner(spark, stage, t.path, ck)
+    r2.max_offsets_per_trigger = None
+    out2 = r2.run_available_now()
+    assert out2, "new micro-batches must be processed"
+    assert any(
+        sum(r.applied.values()) for r in out2
+    ), "plain epochs 1..k were fenced out by sliced sub-epoch ids"
+
+    feed_pd = spark.read.parquet(feed_dir).drop("delivery_seq", "__batch").toPandas()
+    assert_state_matches(t.refresh(), feed_pd, ["role", "text", "tool", "ts"])
