@@ -601,13 +601,17 @@ def main() -> None:
             and lo.get("cores") == n_lo
         )
 
+    # Valid pairs are retained preferentially: the 12-slot pool otherwise
+    # ages out old VALID pairs under a burst of fresh invalid ones from a
+    # disturbed retry — and the median only ever draws from valid pairs, so
+    # this preserves the sample rather than selecting results.
     prior_pairs = []
     if fp_match and (prior.get("scaling") or {}).get("all_pairs"):
-        prior_pairs = [
-            {**p, "from_prior_run": True}
-            for p in prior["scaling"]["all_pairs"][:12]
-            if _same_protocol(p)
+        prior_all = [p for p in prior["scaling"]["all_pairs"] if _same_protocol(p)]
+        ranked_pool = [p for p in prior_all if p.get("valid")] + [
+            p for p in prior_all if not p.get("valid")
         ]
+        prior_pairs = [{**p, "from_prior_run": True} for p in ranked_pool[:12]]
     prior_valid = sum(1 for p in prior_pairs if p.get("valid"))
 
     pairs: list[dict] = []
