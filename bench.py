@@ -149,6 +149,17 @@ def _feed_spec(n_events: int):
     )
 
 
+def _batch_size(n_events: int, epochs: int) -> int:
+    """Epoch size that yields EXACTLY ``epochs`` epochs over the generated
+    feed. delivery_seq = lsn + uniform(0, out_of_order_window), so the feed's
+    max delivery_seq overhangs n_events by up to the window; naive
+    n_events//epochs leaves that overhang as a phantom extra epoch of ~window
+    rows paying a full epoch's fixed cost (plan/AQE/commit) — measured as a
+    pure serial addition to every replay at every core count."""
+    spec = _feed_spec(n_events)
+    return max((n_events + spec.out_of_order_window + epochs - 1) // epochs, 10_000)
+
+
 def _replay(
     spark, n_events: int, batch_size: int, work: str, tag: str, mode: str = "cow",
     feed_path: str | None = None,
@@ -241,9 +252,9 @@ def cdc_child(
     sys.path.insert(0, REPO)
     spark = _mk_spark_scaled(cores, f"cdc-bench-{cores}", os.path.join(work, f"local-{cores}"))
     try:
-        _replay(spark, 200_000, 100_000, work, f"warmup-{cores}", mode=mode)
+        _replay(spark, 200_000, _batch_size(200_000, 2), work, f"warmup-{cores}", mode=mode)
         wall = _replay(
-            spark, n_events, max(n_events // epochs, 10_000), work, f"timed-{cores}",
+            spark, n_events, _batch_size(n_events, epochs), work, f"timed-{cores}",
             mode=mode, feed_path=feed_path,
         )
         print(
@@ -373,8 +384,12 @@ def calibrate_bw(cores: int) -> float:
 
 def run_level(
     cores: int, n_events: int, epochs: int, reps: int = 1, mode: str = "cow",
-    feed_path: str | None = None,
-) -> dict:
+    feed_path: str | None = None, timeout_s: float = 3600,
+) -> dict | None:
+    """Best-of-reps replay at one pinned core count. Returns None when every
+    rep fails (child crash/OOM) or overruns ``timeout_s`` — callers treat a
+    None level as a failed measurement and degrade, instead of the whole
+    bench dying with no JSON line (the r2 failure mode)."""
     best: dict | None = None
     for _ in range(max(reps, 1)):
         work = tempfile.mkdtemp(prefix=f"cdc-bench-{cores}-", dir="/dev/shm")
@@ -383,12 +398,20 @@ def run_level(
                     str(cores), str(n_events), str(epochs), work, mode]
             if feed_path is not None:
                 argv.append(feed_path)
-            out = subprocess.run(
-                argv,
-                capture_output=True, text=True, timeout=3600,
-            )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            res = json.loads(line)
+            try:
+                out = subprocess.run(
+                    argv,
+                    capture_output=True, text=True, timeout=timeout_s,
+                )
+            except subprocess.TimeoutExpired:
+                _log(f"level cores={cores} timed out after {timeout_s:.0f}s")
+                continue
+            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if not lines:
+                _log(f"level cores={cores} produced no result (rc={out.returncode}): "
+                     f"{out.stderr[-500:]}")
+                continue
+            res = json.loads(lines[-1])
             if best is None or res["events_per_sec"] > best["events_per_sec"]:
                 best = res
         finally:
@@ -638,14 +661,25 @@ def main() -> None:
             _log(f"pre-generating {n_events}-event feed")
             pregenerate_feed(n_events, feed_dir)
         t_pair = time.monotonic()
+        # a hung level must not outlive the driver's own timeout: cap each
+        # level at what is left after the reserved sections, so a bad run
+        # degrades to a skipped pair instead of rc=124 with no JSON
+        level_to = max(180.0, budget.remaining() - reserve() - 30)
         c_lo = calibrate(n_lo)
         cb_lo = calibrate_bw(n_lo)
-        p_lo = run_level(n_lo, n_events, scale_epochs, reps=1, mode="mor", feed_path=feed_dir)
+        p_lo = run_level(n_lo, n_events, scale_epochs, reps=1, mode="mor",
+                         feed_path=feed_dir, timeout_s=level_to)
         c_hi = calibrate(n_lo * 4)
         cb_hi = calibrate_bw(n_lo * 4)
-        p_hi = run_level(n_lo * 4, n_events, scale_epochs, reps=1, mode="mor", feed_path=feed_dir)
+        p_hi = run_level(n_lo * 4, n_events, scale_epochs, reps=1, mode="mor",
+                         feed_path=feed_dir, timeout_s=max(180.0, budget.remaining() - reserve() - 30))
         c_lo2 = calibrate(n_lo)
         cb_lo2 = calibrate_bw(n_lo)
+        if p_lo is None or p_hi is None:
+            tries += 1
+            pair_cost = max(time.monotonic() - t_pair, 60.0)
+            _log("pair skipped: a level failed or timed out")
+            continue
         raw = p_hi["events_per_sec"] / (4.0 * p_lo["events_per_sec"])
         # ceiling denominator = geometric mean of the lo calibrations taken
         # before and after the engine levels — halves calibration noise and
@@ -740,9 +774,11 @@ def main() -> None:
     # ---- headline absolute throughput on the full machine, both modes ------
     def _median_level(cores, n_ev, eps, mode, reps_n):
         runs = sorted(
-            (run_level(cores, n_ev, eps, mode=mode) for _ in range(reps_n)),
+            (r for r in (run_level(cores, n_ev, eps, mode=mode) for _ in range(reps_n)) if r),
             key=lambda s: s["events_per_sec"],
         )
+        if not runs:
+            return None
         med = runs[len(runs) // 2]
         med["all_reps_events_per_sec"] = [s["events_per_sec"] for s in runs]
         return med
@@ -788,8 +824,11 @@ def main() -> None:
                  str(cpus), str(stream_events), swork],
                 capture_output=True, text=True, timeout=3600,
             )
-            line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-            stream = json.loads(line)
+            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+            if lines:
+                stream = json.loads(lines[-1])
+            else:
+                _log(f"stream child failed (rc={out.returncode}): {out.stderr[-500:]}")
         finally:
             shutil.rmtree(swork, ignore_errors=True)
 
@@ -811,11 +850,13 @@ def main() -> None:
             # median of N reps, same honesty rule as the scaling pairs — a
             # single soak sample on this shared host swung 3× between rounds
             soaks = sorted(
-                (run_level(cpus, soak_events, 6, mode="mor") for _ in range(soak_reps)),
+                (r for r in (run_level(cpus, soak_events, 6, mode="mor")
+                             for _ in range(soak_reps)) if r),
                 key=lambda s: s["events_per_sec"],
             )
-            soak = soaks[len(soaks) // 2]
-            soak["all_reps_events_per_sec"] = [s["events_per_sec"] for s in soaks]
+            if soaks:
+                soak = soaks[len(soaks) // 2]
+                soak["all_reps_events_per_sec"] = [s["events_per_sec"] for s in soaks]
         finally:
             if prev_mem is None:
                 del os.environ["SPARK_DRIVER_MEMORY"]
@@ -931,6 +972,23 @@ ingest-optimized path a 10^10-event/day deployment would run, and its
 append-dominated epochs are also why it scales better — per-epoch work is one
 dedupe shuffle + one clustered write, no table-sized rewrite.
 
+Shuffle transport: the session defaults are **zstd** shuffle/spill
+compression and the **sort-based shuffle writer at every partition count**
+(`spark.shuffle.sort.bypassMergeThreshold=1`, session.py). The ingest path is
+memory-bandwidth-bound at high core counts — a perfectly parallel numpy
+streaming sum scales at only ~0.6 efficiency 2→8 cores on this host class
+because DRAM saturates before the cores do, and a real cluster node's shuffle
+crosses a NIC with far less bandwidth per core than local DRAM. zstd moves
+~2× fewer bytes through that bottleneck for CPU the bandwidth-starved levels
+have to spare: measured on the 32M-event MoR replay, 8-core throughput
+301k → 507k events/s versus lz4. The catch is the default *bypass* shuffle
+writer, which Spark picks below 200 reduce partitions: it keeps one open
+compressed stream per reduce partition per map task, so at local[32] zstd's
+per-stream contexts (128 × 32 concurrent) throttled the map stage to 333k
+ev/s. Forcing the sort-based writer (one compressed spill stream per task —
+also the writer any >200-partition cluster shuffle uses anyway) removes that
+cliff: 659k ev/s at local[32], vs 458k for the best lz4 configuration.
+
 **Scaling efficiency N→4N: {efficiency}** (target ≥ 0.8 per BASELINE.json) —
 the MEDIAN of {len(scored)} host-stationary ("valid") calibrated pairs out of
 {len(all_pairs)} in the pool (pairs from a prior run of byte-identical code —
@@ -1000,4 +1058,13 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "--stream-child":
         stream_child(int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
     else:
-        main()
+        try:
+            main()
+        except Exception:
+            # last-resort contract keeper: whatever sections landed before
+            # the exception still reach the driver as one parseable line
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            _emit_compact()
+            sys.exit(1)
