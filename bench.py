@@ -102,6 +102,37 @@ class Budget:
 _COMPACT: dict = {}
 _EMITTED = False
 
+# live child PIDs (level/stream subprocesses): the signal handlers reap these
+# before os._exit so a budget alarm never leaves a 32-thread Spark JVM
+# burning the host while the driver moves on to correctness checks
+_CHILDREN: set = set()
+
+
+def _run_tracked(argv, *, timeout):
+    """subprocess.run with the child PID registered for signal-handler
+    cleanup. Same (stdout, stderr, returncode) surface the callers use."""
+    proc = subprocess.Popen(
+        argv, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True
+    )
+    _CHILDREN.add(proc.pid)
+    try:
+        out, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.communicate()
+        raise
+    finally:
+        _CHILDREN.discard(proc.pid)
+    return subprocess.CompletedProcess(argv, proc.returncode, out, err)
+
+
+def _kill_children() -> None:
+    for pid in list(_CHILDREN):
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except OSError:
+            pass
+
 
 def _emit_compact() -> None:
     global _EMITTED
@@ -115,7 +146,20 @@ def _emit_compact() -> None:
 def _on_term(signum, frame):  # driver timeout: flush the partial result line
     _log(f"signal {signum} — emitting partial result")
     _emit_compact()
+    _kill_children()
     os._exit(143)
+
+
+def _on_alarm(signum, frame):
+    """Hard self-deadline at the wall-clock budget: whatever the per-section
+    estimates got wrong (a wedged in-process feed generation, a calibration
+    subprocess stall), the contract line still goes out BEFORE the driver's
+    own timeout fires — rc=0 with partial sections beats r2's rc=124 with
+    nothing parsed."""
+    _log("budget alarm — emitting partial result and exiting 0")
+    _emit_compact()
+    _kill_children()
+    os._exit(0)
 
 
 def _mk_spark(cores: int, app: str, local_dir: str | None = None):
@@ -357,9 +401,7 @@ def _run_cal(script: str, cores: int) -> float:
         fh.write(script)
         p = fh.name
     try:
-        out = subprocess.run(
-            [sys.executable, p, str(cores)], capture_output=True, text=True, timeout=600
-        )
+        out = _run_tracked([sys.executable, p, str(cores)], timeout=240)
         return float(out.stdout.strip().splitlines()[-1])
     finally:
         os.unlink(p)
@@ -399,10 +441,7 @@ def run_level(
             if feed_path is not None:
                 argv.append(feed_path)
             try:
-                out = subprocess.run(
-                    argv,
-                    capture_output=True, text=True, timeout=timeout_s,
-                )
+                out = _run_tracked(argv, timeout=timeout_s)
             except subprocess.TimeoutExpired:
                 _log(f"level cores={cores} timed out after {timeout_s:.0f}s")
                 continue
@@ -496,6 +535,11 @@ def main() -> None:
     # 1500s keeps a from-cold run strictly inside the proven-safe window; the
     # SIGTERM handler still flushes a partial JSON line if the driver kills us.
     budget = Budget(float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "1500")))
+    # the alarm is the backstop for everything the section planner cannot
+    # see (in-process Spark jobs, a stalled calibration); 25s of margin pays
+    # for the emit + interpreter teardown
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(max(int(budget.total) - 25, 30))
     fingerprint = _code_fingerprint()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", str(TOTAL_CPUS)))
@@ -665,16 +709,25 @@ def main() -> None:
         # level at what is left after the reserved sections, so a bad run
         # degrades to a skipped pair instead of rc=124 with no JSON
         level_to = max(180.0, budget.remaining() - reserve() - 30)
-        c_lo = calibrate(n_lo)
-        cb_lo = calibrate_bw(n_lo)
-        p_lo = run_level(n_lo, n_events, scale_epochs, reps=1, mode="mor",
-                         feed_path=feed_dir, timeout_s=level_to)
-        c_hi = calibrate(n_lo * 4)
-        cb_hi = calibrate_bw(n_lo * 4)
-        p_hi = run_level(n_lo * 4, n_events, scale_epochs, reps=1, mode="mor",
-                         feed_path=feed_dir, timeout_s=max(180.0, budget.remaining() - reserve() - 30))
-        c_lo2 = calibrate(n_lo)
-        cb_lo2 = calibrate_bw(n_lo)
+        try:
+            c_lo = calibrate(n_lo)
+            cb_lo = calibrate_bw(n_lo)
+            p_lo = run_level(n_lo, n_events, scale_epochs, reps=1, mode="mor",
+                             feed_path=feed_dir, timeout_s=level_to)
+            c_hi = calibrate(n_lo * 4)
+            cb_hi = calibrate_bw(n_lo * 4)
+            p_hi = run_level(n_lo * 4, n_events, scale_epochs, reps=1, mode="mor",
+                             feed_path=feed_dir,
+                             timeout_s=max(180.0, budget.remaining() - reserve() - 30))
+            c_lo2 = calibrate(n_lo)
+            cb_lo2 = calibrate_bw(n_lo)
+        except (subprocess.TimeoutExpired, ValueError, IndexError) as e:
+            # a calibration stall is a host event, same as a failed level:
+            # skip the pair, don't kill the bench
+            tries += 1
+            pair_cost = max(time.monotonic() - t_pair, 60.0)
+            _log(f"pair skipped: calibration failed ({e})")
+            continue
         if p_lo is None or p_hi is None:
             tries += 1
             pair_cost = max(time.monotonic() - t_pair, 60.0)
@@ -819,10 +872,10 @@ def main() -> None:
     if stream_events:
         swork = tempfile.mkdtemp(prefix="stream-bench-", dir="/dev/shm")
         try:
-            out = subprocess.run(
+            out = _run_tracked(
                 [sys.executable, os.path.join(REPO, "bench.py"), "--stream-child",
                  str(cpus), str(stream_events), swork],
-                capture_output=True, text=True, timeout=3600,
+                timeout=3600,
             )
             lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
             if lines:
