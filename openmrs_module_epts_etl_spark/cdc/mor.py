@@ -62,7 +62,9 @@ def append_delta(
     table-wide shuffle-with-aggregation in the append path (the remaining
     exchange just clusters rows by partition value for the writer). Enable it
     when epochs are huge and duplicate-heavy (many updates of the same turn
-    inside one epoch), where fewer delta rows are worth the shuffle."""
+    inside one epoch), where fewer delta rows are worth the shuffle —
+    measured at 2.7 events/key/epoch (32M-event replay): +31%/+10% events/s
+    at 2/8 cores (PipelineConfig.mor_dedupe_appends exposes this)."""
     key = key or TRANSCRIPT_KEY
     if fence_key is not None and epoch_id is not None:
         if table.epoch_already_applied(fence_key, epoch_id):

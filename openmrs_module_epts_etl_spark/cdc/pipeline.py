@@ -50,6 +50,17 @@ class PipelineConfig:
     # — see cdc/mor.py; read the table via mor.read_state between compactions)
     mode: str = "cow"
     compact_every: int | None = 8  # mor only: compact after every K epochs
+    # mor only: pre-collapse each epoch to one row per key before appending
+    # (append_delta(dedupe=True)). Pure compression — read-time/compaction
+    # winner selection resolves per-key versions either way, so final state
+    # is identical. Measured at the 32M-event/2-epoch replay (2.7 events per
+    # key per epoch, quiet host): ON = 169k/463k events/s at 2/8 cores vs
+    # OFF = 129k/421k — a throughput win at every core count that grows with
+    # the feed's duplicate rate, bought with one extra narrow-agg + join-back
+    # shuffle per epoch. OFF stays the default because at ~1 event/key/epoch
+    # (a typical binlog tailing window) the extra shuffle is pure overhead,
+    # and the appended deltas then carry exact per-event lineage rows.
+    mor_dedupe_appends: bool = False
     # Conflict-resolution policy for matched rows (cdc/conflict.py —
     # ConflictResolutionType analog). Only the default newer-wins policy is
     # expressible in MoR mode: its read-time winner is max-lsn by construction.
@@ -133,7 +144,8 @@ class CdcPipeline:
                 from .mor import append_delta, compact_latest
 
                 res = append_delta(
-                    table, batch, key=list(cfg.key), fence_key=cfg.fence_key, epoch_id=epoch
+                    table, batch, key=list(cfg.key), fence_key=cfg.fence_key,
+                    epoch_id=epoch, dedupe=cfg.mor_dedupe_appends,
                 )
                 if cfg.compact_every and (epoch + 1) % cfg.compact_every == 0:
                     compact_latest(

@@ -35,7 +35,7 @@ def feed(spark):
     df.unpersist()
 
 
-def _mor_pipe(spark, tmp_path, tag, compact_every=None):
+def _mor_pipe(spark, tmp_path, tag, compact_every=None, dedupe_appends=False):
     t = LakeTable.create(
         spark, str(tmp_path / tag), transcript_schema(evolved=False),
         [days("ts"), bucket(8, "conv_id")],
@@ -43,6 +43,7 @@ def _mor_pipe(spark, tmp_path, tag, compact_every=None):
     cfg = PipelineConfig(
         table_path=t.path, checkpoint_dir=str(tmp_path / f"{tag}-ck"),
         batch_size=700, mode="mor", compact_every=compact_every,
+        mor_dedupe_appends=dedupe_appends,
     )
     return t, CdcPipeline(spark, cfg)
 
@@ -94,6 +95,21 @@ def test_mor_compaction_shrinks_and_preserves(spark, tmp_path, feed):
     v = t.version
     assert compact_latest(t, fence_key="manual-compact", epoch_id=0) is None
     assert t.refresh().version == v
+
+
+def test_mor_dedupe_appends_same_state_fewer_rows(spark, tmp_path, feed):
+    """mor_dedupe_appends=True pre-collapses each epoch per key: identical
+    final state (read-time winner selection is the same), strictly fewer
+    delta rows on disk (the epochs here average >1 event per key)."""
+    pay = payload_columns(feed.drop("delivery_seq").schema)
+    t_plain, pipe_plain = _mor_pipe(spark, tmp_path, "t-nodd")
+    pipe_plain.run(feed)
+    t_dd, pipe_dd = _mor_pipe(spark, tmp_path, "t-dd", dedupe_appends=True)
+    pipe_dd.run(feed)
+    _assert_matches(spark, t_dd, feed, pay)
+    rows_plain = t_plain.refresh().read(include_hidden=True).count()
+    rows_dd = t_dd.refresh().read(include_hidden=True).count()
+    assert rows_dd < rows_plain
 
 
 def test_mor_replay_idempotent(spark, tmp_path, feed):

@@ -83,6 +83,11 @@ def main(cores: int) -> None:
         total = time.perf_counter() - t0
 
         stages = json.load(urllib.request.urlopen(f"{base}/stages?status=complete"))
+        execs = json.load(urllib.request.urlopen(f"{base}/executors"))
+        gc_ms = sum(e.get("totalGCTime", 0) for e in execs)
+        cpu_ns = sum(
+            s.get("executorCpuTime", 0) for s in stages if s["stageId"] not in before
+        )
         rows = []
         agg_run = 0.0
         agg_wall = 0.0
@@ -114,6 +119,9 @@ def main(cores: int) -> None:
             "sum_stage_wall": round(agg_wall, 2),
             "gap_wall": round(total - agg_wall, 2),
             "overall_util": round(agg_run / (cores * total), 2),
+            "gc_sec_total_app": round(gc_ms / 1000.0, 2),
+            "exec_cpu_sec": round(cpu_ns / 1e9, 2),
+            "exec_run_sec": round(agg_run, 2),
         }))
         for r in rows:
             print(json.dumps(r))

@@ -91,6 +91,31 @@ def flow1_cdc(spark, root: str) -> None:
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     print(f"flow1 OK: {len(got)} final rows match DuckDB oracle; replay fenced at v{v_done}")
 
+    # MoR with per-epoch dedupe-appends: same oracle state from the other
+    # ingest mode + the PipelineConfig.mor_dedupe_appends knob.
+    from openmrs_module_epts_etl_spark.cdc import read_state
+
+    mor_dir = os.path.join(root, "tbl-mor-dd")
+    LakeTable.create(spark, mor_dir, transcript_schema(evolved=False),
+                     [days("ts"), bucket(8, "conv_id")])
+    cfg3 = PipelineConfig(
+        table_path=mor_dir, checkpoint_dir=os.path.join(root, "ckpt3"),
+        batch_size=4000, mode="mor", compact_every=3, mor_dedupe_appends=True,
+    )
+    CdcPipeline(spark, cfg3).run(feed)
+    got_mor = (
+        read_state(LakeTable(spark, mor_dir))
+        .select("conv_id", "turn_idx", *pcols)
+        .orderBy("conv_id", "turn_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    for c in got_mor.columns:
+        if pd.api.types.is_datetime64_any_dtype(got_mor[c]):
+            got_mor[c] = got_mor[c].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got_mor, want, check_dtype=False)
+    print(f"flow1 OK: MoR dedupe-appends replay matches the same oracle ({len(got_mor)} rows)")
+
 
 def flow2_driver_contract(spark) -> None:
     df = entrymod.entry(spark)
