@@ -555,6 +555,8 @@ HEADLINE = [
     "near_dup_components",
     "user_state_scd2",
     "ann_ivf_topk",
+    # round-3: native session windows (streaming-capable twin of user_sessions)
+    "session_window_agg",
 ]
 
 
@@ -1082,6 +1084,18 @@ def _write_bench_md(
         )
     table = "\n".join(rows)
     qrows = "".join(f"| {k} | {v} |\n" for k, v in queries.items())
+    n_valid = sum(1 for p in all_pairs if p["valid"])
+    if n_valid:
+        median_desc = (
+            f'the MEDIAN of {n_valid} host-stationary ("valid") calibrated pairs out of\n'
+            f"{len(all_pairs)} in the pool"
+        )
+    else:
+        median_desc = (
+            f"**the host never passed the stationarity gates this run** (0 valid of\n"
+            f"{len(all_pairs)} pairs; JSON flags `host_disturbed`), so this number is the\n"
+            f"FALLBACK median over all — disturbed — pairs and understates the engine"
+        )
     with open(os.path.join(REPO, "BENCH.md"), "w") as fh:
         fh.write(
             f"""# BENCH — measured locally by bench.py (code fingerprint {fingerprint})
@@ -1120,8 +1134,7 @@ also the writer any >200-partition cluster shuffle uses anyway) removes that
 cliff: 659k ev/s at local[32], vs 458k for the best lz4 configuration.
 
 **Scaling efficiency N→4N: {efficiency}** (target ≥ 0.8 per BASELINE.json) —
-the MEDIAN of {len(scored)} host-stationary ("valid") calibrated pairs out of
-{len(all_pairs)} in the pool (pairs from a prior run of byte-identical code —
+{median_desc} (pairs from a prior run of byte-identical code —
 same fingerprint — carry `from_prior_run`) (best pair: {best_eff}; raw medians/best:
 {raw_median}/{round(raw_eff, 3)}), each pair platform-normalized: raw
 wall-clock efficiency divided by this VM's own parallel-scaling ceiling

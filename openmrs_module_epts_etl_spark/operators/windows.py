@@ -101,6 +101,35 @@ def scd2_history(
     )
 
 
+def session_window_stats(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Native session windows (``F.session_window``): per key, consecutive
+    events merge into one session while each gap is at most ``gap`` (an event
+    exactly ``gap`` later still merges — boundary pinned by
+    test_streaming.py); the emitted window is [first_ts, last_ts + gap). The reference
+    has no session concept at all (SURVEY.md §2.5 — its late-data story is
+    re-running detection); ``sessionize`` above is the lag+cumsum formulation
+    for when the session *id* must be joined back onto rows. This variant is
+    the aggregation-shaped twin and, unlike a lag window, runs UNCHANGED on a
+    streaming DataFrame (put ``withWatermark(ts_col, ...)`` upstream so Spark
+    can expire session state). Physical plan: one shuffle on the key, session
+    merge inside the aggregation — no per-key global sort, no Python."""
+    return (
+        df.groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *key_cols,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

@@ -80,6 +80,37 @@ FROM lagged GROUP BY user_id
 """
 
 
+def session_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session windows (operators/windows.session_window_stats —
+    F.session_window): per-user sessions with their [start, last+gap) bounds.
+    The streaming-capable twin of ``user_sessions``; boundary pinned by
+    test_streaming.py: an event exactly at prev_ts + gap still MERGES (a new
+    session needs a gap strictly greater), matching ``user_sessions``'s
+    ``> 1800s`` rule."""
+    from ..operators.windows import session_window_stats
+
+    ev = t(spark, sf, "events").select("user_id", "ts")
+    return session_window_stats(ev, ["user_id"], "ts", gap="30 minutes")
+
+
+SESSION_WINDOW_SQL = """
+WITH lagged AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts,
+    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
 def running_value_per_user(spark: SparkSession, sf: str) -> DataFrame:
     """Running total window (progress-meter accumulation shape, §2.4)."""
     from ..operators.windows import running_total
@@ -146,6 +177,7 @@ QUERIES = {
     "user_state_scd2": user_state_scd2,
     "event_type_stats": event_type_stats,
     "user_sessions": user_sessions,
+    "session_window_agg": session_window_agg,
     "running_value_per_user": running_value_per_user,
     "hourly_event_counts": hourly_event_counts,
 }
@@ -155,6 +187,7 @@ ORACLES = {
     "user_state_scd2": USER_STATE_SCD2_SQL,
     "event_type_stats": EVENT_TYPE_STATS_SQL,
     "user_sessions": USER_SESSIONS_SQL,
+    "session_window_agg": SESSION_WINDOW_SQL,
     "running_value_per_user": RUNNING_VALUE_SQL,
     "hourly_event_counts": HOURLY_EVENTS_SQL,
 }

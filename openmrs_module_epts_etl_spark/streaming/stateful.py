@@ -55,11 +55,24 @@ _STATE_SCHEMA = "n_events LONG, n_deletes LONG, max_turn_idx INT, max_lsn LONG, 
 
 
 def _update_conversation(
-    key: tuple, frames: Iterable[pd.DataFrame], state: GroupState
+    key: tuple, frames: Iterable[pd.DataFrame], state: GroupState,
+    ttl_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """Fold this batch's events for one conv_id into its persistent state and
-    emit the cumulative snapshot. Vectorized pandas per Arrow batch."""
+    emit the cumulative snapshot. Vectorized pandas per Arrow batch.
+
+    ``ttl_ms``: idle-eviction horizon (ProcessingTimeTimeout). At 10^10
+    events/day the live-conversation set grows without bound unless finished
+    conversations age out; on timeout the state is dropped WITHOUT emitting —
+    the last snapshot already carried the final cumulative counts, so
+    downstream state is complete. A conversation that resumes after eviction
+    restarts its counters from zero (callers must size the TTL past the
+    conversation inactivity horizon, same sizing rule as
+    ``suppress_redelivery`` in streaming/runner.py)."""
     (conv_id,) = key
+    if state.hasTimedOut:
+        state.remove()
+        return
     if state.exists:
         n_events, n_deletes, max_turn, max_lsn, last_ts = state.get
     else:
@@ -74,6 +87,8 @@ def _update_conversation(
         ts_max = pdf["ts"].max()
         last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
     state.update((n_events, n_deletes, max_turn, max_lsn, last_ts))
+    if ttl_ms is not None:
+        state.setTimeoutDuration(ttl_ms)
     yield pd.DataFrame(
         {
             "conv_id": [conv_id],
@@ -86,16 +101,32 @@ def _update_conversation(
     )
 
 
-def conversation_progress(events: DataFrame) -> DataFrame:
+def conversation_progress(
+    events: DataFrame, idle_ttl_minutes: int | None = None
+) -> DataFrame:
     """Streaming per-conversation progress: ``events`` is a *streaming*
     DataFrame with at least (conv_id, turn_idx, op, lsn, ts). Returns the
-    update-mode stream of cumulative per-conversation snapshots."""
+    update-mode stream of cumulative per-conversation snapshots.
+
+    ``idle_ttl_minutes`` bounds state at scale: conversations idle past the
+    TTL are evicted (see ``_update_conversation`` for the resume caveat).
+    ``None`` keeps state forever — fine for bounded tests, not for a
+    10^10-event/day deployment."""
+    if idle_ttl_minutes is None:
+        fn, timeout = _update_conversation, GroupStateTimeout.NoTimeout
+    else:
+        ttl_ms = int(idle_ttl_minutes) * 60_000
+
+        def fn(key, frames, state):  # closure, still Arrow-batched
+            return _update_conversation(key, frames, state, ttl_ms=ttl_ms)
+
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return events.groupBy("conv_id").applyInPandasWithState(
-        _update_conversation,
+        fn,
         outputStructType=PROGRESS_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

@@ -329,3 +329,125 @@ def test_trigger_cap_removal_does_not_fence_out_new_batches(spark, tmp_path, fee
 
     feed_pd = spark.read.parquet(feed_dir).drop("delivery_seq", "__batch").toPandas()
     assert_state_matches(t.refresh(), feed_pd, ["role", "text", "tool", "ts"])
+
+
+def test_streaming_session_windows_deterministic(spark, tmp_path):
+    """Native session windows on a STREAMING DataFrame (the capability the
+    lag-based sessionize cannot offer): watermark + session_window, in-order
+    feed, gap 5 minutes. Three files arrive as three micro-batches; the final
+    file carries a far-future sentinel that pushes the watermark past every
+    real session, so append mode must emit EXACTLY the batch sessions of the
+    real conversations (the sentinel's own session stays open and unemitted).
+    Session bound semantics pinned: an event exactly gap after the previous
+    one still MERGES (a new session needs a strictly greater gap) — the
+    oracle SQL mirrors this with ``> 1800s``."""
+    import datetime as dt
+
+    from pyspark.sql.types import StringType, StructType, TimestampType
+    from pyspark.sql.types import StructField as SF
+
+    from openmrs_module_epts_etl_spark.operators.windows import session_window_stats
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    schema = StructType([SF("conv_id", StringType()), SF("ts", TimestampType())])
+    files = [
+        # file 1: conv A session 1 (2 events), conv B session 1 starts
+        [("A", t0), ("A", t0 + 1 * m), ("B", t0 + 2 * m)],
+        # file 2: conv A session 2 — note t0+20m; B event at EXACTLY +5m gap
+        # from t0+2m → still MERGES (boundary is inclusive; a split needs
+        # a gap strictly greater)
+        [("A", t0 + 20 * m), ("B", t0 + 7 * m)],
+        # file 3: sentinel far in the future → watermark passes everything
+        [("Z", t0 + 300 * m)],
+    ]
+    feed = str(tmp_path / "sessfeed")
+    os.makedirs(feed)
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        src_file = glob.glob(str(tmp_path / f"stage{i}" / "*.parquet"))[0]
+        shutil.copy(src_file, os.path.join(feed, f"f{i:04d}.parquet"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        session_window_stats(stream, ["conv_id"], "ts", gap="5 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("sess_stream").toPandas()
+    got_set = set(map(tuple, got[["conv_id", "session_start", "session_end", "n_events"]].itertuples(index=False)))
+    g = dt.timedelta(minutes=5)
+    expected = {
+        ("A", t0, t0 + 1 * m + g, 2),
+        ("A", t0 + 20 * m, t0 + 25 * m, 1),
+        ("B", t0 + 2 * m, t0 + 12 * m, 2),  # inclusive bound: +5m gap merges
+    }
+    assert got_set == expected
+
+
+def test_stateful_progress_with_idle_ttl(spark, tmp_path, feed_dir):
+    """ProcessingTimeTimeout variant: with a TTL far beyond the test's wall
+    clock, results must equal the NoTimeout run (the TTL arm registers the
+    timeout but never fires here — firing is covered by the unit test
+    below)."""
+    from pyspark.sql.types import LongType, StructField
+
+    from openmrs_module_epts_etl_spark.streaming import (
+        conversation_progress,
+        progress_oracle,
+    )
+
+    schema = event_schema(False).add(StructField("delivery_seq", LongType()))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(feed_dir)
+    )
+    q = (
+        conversation_progress(stream.drop("delivery_seq"), idle_ttl_minutes=60)
+        .writeStream.format("memory")
+        .queryName("conv_progress_ttl")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    upd = spark.sql("select * from conv_progress_ttl").toPandas()
+    got = upd.sort_values("n_events").groupby("conv_id").tail(1)
+    got = got.sort_values("conv_id").reset_index(drop=True)
+    feed_pd = spark.read.parquet(feed_dir).drop("delivery_seq", "__batch").toPandas()
+    exp = progress_oracle(feed_pd)
+    for col in ["n_events", "n_deletes", "max_turn_idx", "max_lsn"]:
+        assert list(got[col].astype("int64")) == list(exp[col].astype("int64")), col
+
+
+def test_stateful_timeout_branch_evicts_silently():
+    """The hasTimedOut arm drops state and emits nothing — unit-tested with a
+    fake GroupState because ProcessingTimeTimeout firing needs real wall
+    clock."""
+    from openmrs_module_epts_etl_spark.streaming.stateful import _update_conversation
+
+    class _FakeState:
+        hasTimedOut = True
+        removed = False
+
+        def remove(self):
+            self.removed = True
+
+    st = _FakeState()
+    out = list(_update_conversation(("c1",), iter(()), st, ttl_ms=1000))
+    assert out == []
+    assert st.removed

@@ -78,6 +78,12 @@ SHOWCASE = {
         "(InMemoryTableScan below) — the most expensive per-row work runs "
         "once, not twice."
     ),
+    "session_window_agg": (
+        "Native session windows: one Exchange on the key, sessions merged "
+        "inside the aggregate (no per-key global sort, no Python); the same "
+        "operator runs on a watermarked stream with state expired by the "
+        "watermark."
+    ),
     "reconciliation_report": (
         "MISSING/PHANTOM/OUTDATED in ONE full-outer join on the keys: each "
         "side is scanned and shuffled exactly once; the three classes fall "
