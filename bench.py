@@ -719,7 +719,6 @@ def main() -> None:
 
     # planning costs (seconds), deliberately pessimistic; the first measured
     # pair replaces the pair estimate
-    est_feedgen = n_events / 150_000 + 50
     est_head_rep = head_events / 140_000 + 80
     est_queries = 0 if (can_reuse and _queries_full(prior.get("queries"))) else 450
     est_head = 0 if (can_reuse and _level_full(prior.get("head"), head_events)) else est_head_rep
@@ -736,10 +735,10 @@ def main() -> None:
     # a pair is only comparable at the same (events, epochs, cores) shape —
     # mixing 16M/4-epoch pairs into a 32M/2-epoch median would average two
     # different fixed-cost ceilings.
-    def _same_protocol(p: dict) -> bool:
+    def _same_protocol(p: dict, ev: int) -> bool:
         lo = p.get("lo") or {}
         return (
-            lo.get("events") == n_events
+            lo.get("events") == ev
             and lo.get("epochs") == scale_epochs
             and lo.get("cores") == n_lo
         )
@@ -748,18 +747,45 @@ def main() -> None:
     # ages out old VALID pairs under a burst of fresh invalid ones from a
     # disturbed retry — and the median only ever draws from valid pairs, so
     # this preserves the sample rather than selecting results.
-    prior_pairs = []
-    if fp_match and (prior.get("scaling") or {}).get("all_pairs"):
-        prior_all = [p for p in prior["scaling"]["all_pairs"] if _same_protocol(p)]
+    def _prior_pool(ev: int) -> list[dict]:
+        if not (fp_match and (prior.get("scaling") or {}).get("all_pairs")):
+            return []
+        prior_all = [p for p in prior["scaling"]["all_pairs"] if _same_protocol(p, ev)]
         ranked_pool = [p for p in prior_all if p.get("valid")] + [
             p for p in prior_all if not p.get("valid")
         ]
-        prior_pairs = [{**p, "from_prior_run": True} for p in ranked_pool[:12]]
+        return [{**p, "from_prior_run": True} for p in ranked_pool[:12]]
+
+    def _pair_est(ev: int) -> float:  # one pair + the one-off feed generation
+        return ev / 85_000 + ev / 280_000 + 160 + ev / 150_000 + 50
+
+    # Degrade-to-fit: at the default driver budget (1500s) a from-cold run
+    # (new code fingerprint → nothing reusable, reserve ≈ 700s) can NEVER fit
+    # a 32M-event pair (~900s) — it would publish scaling=None, silently
+    # failing the north rule's one measurable criterion. Halve the scaling
+    # event count until a pair fits (protocol-matched prior pairs, when they
+    # exist at some size, take precedence — pools must never mix protocols).
+    # A 2-epoch pair at reduced events raises the relative weight of fixed
+    # per-epoch driver cost (lower raw ceiling — see the 32M rationale
+    # above), so this is strictly a budget fallback: the artifact records the
+    # measured event count and the full-protocol number wins whenever the
+    # budget allows it.
+    scale_events = n_events
+    prior_pairs = _prior_pool(scale_events)
+    while (
+        not prior_pairs
+        and scale_events > 4_000_000
+        and budget.remaining() - reserve() < _pair_est(scale_events)
+    ):
+        scale_events //= 2
+        prior_pairs = _prior_pool(scale_events)
+        _log(f"scaling: degrading pair protocol to {scale_events} events (budget)")
     prior_valid = sum(1 for p in prior_pairs if p.get("valid"))
 
     pairs: list[dict] = _PARTIAL["fresh_pairs"]  # shared so a signal flush sees them
     feed_dir = None
-    pair_cost = n_events / 85_000 + n_events / 280_000 + 160
+    est_feedgen = scale_events / 150_000 + 50
+    pair_cost = scale_events / 85_000 + scale_events / 280_000 + 160
     tries = 0
     while tries < max(max_tries, reps, 1):
         n_valid = prior_valid + sum(1 for p in pairs if p["valid"])
@@ -778,8 +804,8 @@ def main() -> None:
             # stationarity window (on 2 cores it exceeds the replay itself),
             # and a file-backed binlog is the faithful deployment shape anyway
             feed_dir = tempfile.mkdtemp(prefix="bench-feed-", dir="/dev/shm")
-            _log(f"pre-generating {n_events}-event feed")
-            pregenerate_feed(n_events, feed_dir)
+            _log(f"pre-generating {scale_events}-event feed")
+            pregenerate_feed(scale_events, feed_dir)
         t_pair = time.monotonic()
         # a hung level must not outlive the driver's own timeout: cap each
         # level at what is left after the reserved sections, so a bad run
@@ -788,11 +814,11 @@ def main() -> None:
         try:
             c_lo = calibrate(n_lo)
             cb_lo = calibrate_bw(n_lo)
-            p_lo = run_level(n_lo, n_events, scale_epochs, reps=1, mode="mor",
+            p_lo = run_level(n_lo, scale_events, scale_epochs, reps=1, mode="mor",
                              feed_path=feed_dir, timeout_s=level_to)
             c_hi = calibrate(n_lo * 4)
             cb_hi = calibrate_bw(n_lo * 4)
-            p_hi = run_level(n_lo * 4, n_events, scale_epochs, reps=1, mode="mor",
+            p_hi = run_level(n_lo * 4, scale_events, scale_epochs, reps=1, mode="mor",
                              feed_path=feed_dir,
                              timeout_s=max(180.0, budget.remaining() - reserve() - 30))
             c_lo2 = calibrate(n_lo)
@@ -1040,7 +1066,7 @@ def main() -> None:
         queries=queries, efficiency=efficiency, best_eff=best_eff,
         raw_median=raw_median, raw_eff=raw_eff, ceiling=ceiling,
         cal_lo=cal_lo, cal_hi=cal_hi, best=best, scored=scored,
-        all_pairs=all_pairs, max_tries=max_tries, n_events=n_events,
+        all_pairs=all_pairs, max_tries=max_tries, n_events=scale_events,
         epochs=scale_epochs, sf=sf, cpus=cpus, fingerprint=fingerprint,
     )
 

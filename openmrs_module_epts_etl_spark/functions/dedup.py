@@ -88,6 +88,15 @@ def _scan_splits(df: DataFrame) -> int | None:
         p = urllib.parse.urlparse(f)
         if p.scheme not in ("", "file"):
             return None
+        if p.path.lower().endswith((".gz", ".zip", ".lz4", ".snappy", ".zst", ".deflate")):
+            # non-splittable compression: Spark plans exactly ONE task per
+            # file no matter its size — sizing it at maxPartitionBytes would
+            # overestimate parallelism and skip the respread this estimate
+            # exists to trigger (parquet/orc stay splittable; their
+            # extensions name the INTERNAL codec, e.g. .snappy.parquet, and
+            # don't end with a codec suffix)
+            splits += 1
+            continue
         try:
             size = os.path.getsize(urllib.parse.unquote(p.path) or f)
         except OSError:

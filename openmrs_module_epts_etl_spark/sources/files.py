@@ -162,16 +162,19 @@ def transport_batches(export_dir: str, import_dir: str, backup_dir: str | None =
             manifest = json.load(fh)
         rows = manifest.get("rows")
         has_parts = any(n.startswith("part-") for n in os.listdir(src))
-        if rows == 0 and not has_parts:
+        if not rows and not has_parts:
             # the reference deletes an empty destination file rather than
             # shipping it; json_export no longer publishes empty batches, so
             # one here is hand-made/legacy — remove it and keep the loop
             # alive (raising mid-loop would strand every batch sorting after
-            # it, on this run and every rerun)
+            # it, on this run and every rerun). A MISSING/corrupt rows key
+            # lands here too when the directory holds no part-files: with no
+            # data present there is nothing to preserve, and quarantining
+            # would accrete an empty .bad/.bad.N per rerun forever.
             shutil.rmtree(src, ignore_errors=True)
             continue
         if not rows:
-            # rows missing/corrupt (older producer, truncated manifest) but
+            # rows missing/corrupt (older producer, truncated manifest) AND
             # the directory still holds part-files: data we cannot validate
             # is quarantined, never destroyed — rename to <batch>.bad and
             # keep transporting the rest. A re-exported batch with the same

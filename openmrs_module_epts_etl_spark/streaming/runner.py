@@ -113,14 +113,16 @@ class StreamingCdcRunner:
     # fence sub-epoch id = micro_batch_epoch * STRIDE + slice_index: unique as
     # long as one micro-batch never needs 2^20 slices (guarded below), and a
     # replayed micro-batch regenerates the identical ids so the fence holds.
-    # Sliced ids live in their own fence namespace (fence_key + "-sliced"):
-    # epoch 0's slices are 0*STRIDE+i = 0..k, which would collide with PLAIN
-    # epoch ids 1..k if the operator later removes the trigger cap on the same
-    # checkpoint — sharing a namespace would silently fence out (drop) those
-    # real micro-batches. Disjoint namespaces make false "already applied"
-    # impossible; the reverse direction (a config flip re-applying an overlap
-    # once) is a no-op by the lsn guard / latest-wins compaction, which the
-    # replay-idempotence tests pin down.
+    # Sliced ids live in their own fence namespace, keyed by the WINDOW WIDTH
+    # too (fence_key + f"-sliced-{w}"): epoch 0's slices are 0*STRIDE+i =
+    # 0..k, which would collide with PLAIN epoch ids 1..k if the operator
+    # later removes the trigger cap on the same checkpoint, and a replayed
+    # micro-batch re-sliced under a CHANGED cap computes different lsn
+    # windows for the same ids — either collision would silently fence out
+    # (drop) never-applied rows. Disjoint namespaces make false "already
+    # applied" impossible; the reverse direction (a config flip re-applying
+    # an overlap once) is a no-op by the lsn guard / latest-wins compaction,
+    # which the replay-idempotence tests pin down.
     _SLICE_STRIDE = 1 << 20
 
     def _apply_batch(self, batch_df, epoch_id: int) -> None:
@@ -136,17 +138,23 @@ class StreamingCdcRunner:
             batch = batch.persist()
             try:
                 lo = batch.agg(F.min("lsn")).first()[0]
-                if lo is None:
-                    return  # empty micro-batch
                 # non-empty lsn windows only — one metadata-bounded agg (at
-                # most span/w indices; with a sane cap that is a handful)
-                idx = sorted(
-                    r[0]
-                    for r in batch.select(
-                        ((F.col("lsn") - F.lit(lo)) / w).cast("long").alias("i")
+                # most span/w indices; with a sane cap that is a handful).
+                # `div` keeps the index in exact long arithmetic: a double
+                # quotient rounds for offsets beyond 2^53 and can disagree
+                # with the exact integer slice-bound filters below, assigning
+                # a boundary row to a window that is never iterated.
+                idx = (
+                    []
+                    if lo is None  # empty micro-batch: no slices, cadence below still runs
+                    else sorted(
+                        r[0]
+                        for r in batch.select(
+                            F.expr(f"(lsn - {lo}L) div {w}L").alias("i")
+                        )
+                        .distinct()
+                        .collect()
                     )
-                    .distinct()
-                    .collect()
                 )
                 if idx and idx[-1] >= self._SLICE_STRIDE:
                     raise ValueError(
@@ -161,7 +169,7 @@ class StreamingCdcRunner:
                     self._apply_slice(
                         sl,
                         int(epoch_id) * self._SLICE_STRIDE + i,
-                        fence_suffix="-sliced",
+                        fence_suffix=f"-sliced-{w}",
                     )
             finally:
                 batch.unpersist()
