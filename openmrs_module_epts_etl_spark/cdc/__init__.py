@@ -9,6 +9,7 @@ from .conflict import KEEP_EXISTING, NEWER_WINS, UPDATE_EXISTING, ConflictPolicy
 from .generator import FeedSpec, generate_feed
 from .dedupe import dedupe_latest, dedupe_latest_salted
 from .merge import MergeResult, compact, merge_into, vacuum_tombstones
+from .changelog import CHANGE_TYPE_COL, changes_as_feed, snapshot_diff
 from .mor import append_delta, compact_latest, read_state, table_changes_as_feed
 from .pipeline import CdcPipeline, PipelineConfig
 from .oracle import expected_state_pandas, expected_state_sql
@@ -31,6 +32,9 @@ __all__ = [
     "merge_into",
     "vacuum_tombstones",
     "compact",
+    "CHANGE_TYPE_COL",
+    "snapshot_diff",
+    "changes_as_feed",
     "append_delta",
     "compact_latest",
     "read_state",

@@ -1,0 +1,261 @@
+"""Row-level changelog between two table versions (snapshot diff).
+
+The Delta-CDF / Iceberg-``create_changelog_view`` analog for this lake
+format, and the exact-row-granularity upgrade of ``mor.table_changes_as_feed``
+(which is file-granular and MoR-only). It closes the reference's
+CHANGED/NEW_RECORDS_DETECTOR loop from the *lake side*
+(api:changedrecordsdetector/engine/ChangedRecordsDetectorProcessor.java:26-71
+emits detected_record_info rows for the next stage; here any downstream
+pipeline can ask "what changed between version A and version B" and get back
+typed change rows): INSERT / DELETE / UPDATE_PREIMAGE / UPDATE_POSTIMAGE.
+
+Works uniformly on copy-on-write and merge-on-read tables because both stamp
+``_lsn`` / ``_deleted`` on every row (cdc/merge.py, cdc/mor.py): the visible
+state at a version is "max-``_lsn`` winner per key, tombstones hidden", so
+the diff of two versions is the diff of two winner sets.
+
+100 TB design — the diff never touches the unchanged bulk of the table:
+
+1. **File symmetric difference** (driver-side, manifest metadata only):
+   files added/removed between the two commits. Files common to both
+   versions are byte-identical (data files are immutable) — only the
+   difference can carry change.
+2. **Touched keys**: one scan of ONLY the differing files yields the key set
+   that can possibly have changed.
+3. **Pruned state reads**: each version's winner set is computed over its
+   file list pruned three ways — same-spec bucket partitions not touched by
+   any differing file are skipped (every version of a key lands in the same
+   key-derived bucket), per-file key-column min/max stats against the
+   touched-key bounds skip further (sound under any spec / ts mutation), and
+   a null-safe ``left_semi`` join on the touched keys makes the result exact
+   regardless of how much pruning applied.
+4. One full-outer join of the two (touched-keys-sized, not table-sized)
+   winner sets classifies every key; updates emit pre+post images from a
+   single ``array``-of-struct + ``explode`` projection — one join, no branch
+   re-computation.
+
+Cost is O(changed data + key-matched slices of both snapshots), the same
+order as Delta's CDF-less changelog path; a compaction- or clustering-only
+interval diffs to zero rows (state is invariant under relayout), which the
+tests assert.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from ..functions._cache import cycle_persist
+from ..lake.table import Commit, DataFile, LakeTable, file_may_match
+from .dedupe import dedupe_latest
+from .schemas import TRANSCRIPT_KEY
+
+CHANGE_TYPE_COL = "_change_type"
+CHANGE_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
+
+
+def _alive(prefix: str) -> F.Column:
+    present = F.col(f"{prefix}__present").isNotNull()
+    return present & ~F.coalesce(F.col(f"{prefix}_deleted"), F.lit(False))
+
+
+def _pruned_files(
+    commit: Commit,
+    changed: list[DataFile],
+    changed_buckets: dict[str, set] | None,
+    key_bounds: list[tuple[str, str, object]],
+    cur_spec_id: int,
+) -> list[DataFile]:
+    """Candidate files of one version that may hold a touched key.
+
+    Bucket pruning applies only to files laid out under the CURRENT spec
+    (stale partition values on older-spec files — same soundness rule as
+    LakeTable.read's partition_filter); stats pruning applies to every file
+    (column min/max stay valid across spec evolution)."""
+    out = []
+    for f in commit.files:
+        if (
+            changed_buckets is not None
+            and f.spec_id == cur_spec_id
+            and any(
+                f.partition.get(name) not in vals
+                for name, vals in changed_buckets.items()
+                if f.partition.get(name) is not None
+            )
+        ):
+            continue
+        if key_bounds and not file_may_match(f, key_bounds):
+            continue
+        out.append(f)
+    return out
+
+
+def snapshot_diff(
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """Exact row-level changes between two versions of a CDC-maintained table.
+
+    Returns one row per change: the table's user-facing payload columns plus
+    ``_lsn`` (the emitted row's version stamp) and ``_change_type`` ∈
+    {insert, delete, update_preimage, update_postimage}. ``delete`` and
+    ``update_preimage`` carry the *old* row (version ``from_version``'s
+    winner); ``insert`` and ``update_postimage`` carry the new. A key whose
+    winner is identical in both versions (same ``_lsn``) emits nothing —
+    rewrites that only move rows between files (compaction, clustering,
+    z-order, spec migration) therefore diff to zero rows.
+
+    Per-epoch changelogs are ``snapshot_diff(table, v, v + 1)``; for the
+    cheap MoR-delta tailing shape see ``mor.table_changes_as_feed``. Both
+    versions must still be retained (maintenance.expire_snapshots).
+    """
+    key = list(key or TRANSCRIPT_KEY)
+    to_version = table.version if to_version is None else to_version
+    if to_version < from_version:
+        raise ValueError(f"to_version {to_version} < from_version {from_version}")
+    ca = table._load_commit(from_version)
+    cb = table._load_commit(to_version)
+    schema = table.schema
+    names = {f.name for f in schema.fields}
+    if "_lsn" not in names or "_deleted" not in names:
+        raise ValueError(
+            "snapshot_diff requires a CDC-maintained table (_lsn/_deleted columns)"
+        )
+    for k in key:
+        if k not in names:
+            raise ValueError(f"unknown key column {k!r}")
+    payload = [f.name for f in schema.fields if not f.name.startswith("_")]
+    has_origin = "_origin" in names
+    out_schema = StructType(
+        [schema[c] for c in payload]
+        + [schema["_lsn"]]
+        + ([schema["_origin"]] if has_origin else [])
+        + [StructField(CHANGE_TYPE_COL, StringType(), False)]
+    )
+
+    pa = {f.path for f in ca.files}
+    pb = {f.path for f in cb.files}
+    changed = [f for f in cb.files if f.path not in pa] + [
+        f for f in ca.files if f.path not in pb
+    ]
+    if not changed:
+        return table.spark.createDataFrame([], out_schema)
+
+    # touched keys: one scan of only the differing files (persisted — reused
+    # by the bounds probe and both semi-joins, then recycled next call)
+    touched = cycle_persist(
+        "snapshot_diff.touched",
+        table.read(files=changed, include_hidden=True).select(*key).distinct(),
+    )
+
+    # driver-side pruning hints: len(key) min/max scalar pairs (bounded
+    # collect) + the bucket partition values of the changed files (manifest
+    # metadata, no I/O)
+    bounds_row = touched.agg(
+        *[F.min(k).alias(f"lo_{k}") for k in key],
+        *[F.max(k).alias(f"hi_{k}") for k in key],
+    ).collect()[0]
+    key_bounds: list[tuple[str, str, object]] = []
+    for k in key:
+        if bounds_row[f"lo_{k}"] is not None:
+            key_bounds += [(k, ">=", bounds_row[f"lo_{k}"]), (k, "<=", bounds_row[f"hi_{k}"])]
+
+    cur = table._commit.spec_id
+    changed_buckets: dict[str, set] | None = None
+    if ca.spec_id == cur == cb.spec_id and all(f.spec_id == cur for f in changed):
+        # every version of a key shares its key-derived bucket value, so the
+        # buckets present in the changed files are the only buckets any
+        # touched key can live in — regardless of ts-derived fields moving
+        bucket_fields = [
+            pf.name
+            for pf in table.partition_spec
+            if pf.transform.startswith("bucket(") and pf.source in key
+        ]
+        if bucket_fields:
+            changed_buckets = {
+                name: {f.partition.get(name) for f in changed} for name in bucket_fields
+            }
+
+    def state(commit: Commit, prefix: str) -> DataFrame:
+        files = _pruned_files(commit, changed, changed_buckets, key_bounds, cur)
+        if not files:
+            rows = table.spark.createDataFrame([], schema)
+        else:
+            rows = table.read(files=files, include_hidden=True)
+        cond = None
+        t = touched.hint("shuffle_hash")
+        for k in key:
+            e = rows[k].eqNullSafe(t[k])
+            cond = e if cond is None else cond & e
+        winners = dedupe_latest(rows.join(t, cond, "left_semi"), key=key, order_col="_lsn")
+        return winners.select(
+            *[F.col(k).alias(f"{prefix}_{k}") for k in key],
+            *[F.col(c).alias(f"{prefix}_{c}") for c in payload if c not in key],
+            F.col("_lsn").alias(f"{prefix}_lsn"),
+            *([F.col("_origin").alias(f"{prefix}_origin")] if has_origin else []),
+            F.coalesce(F.col("_deleted"), F.lit(False)).alias(f"{prefix}_deleted"),
+            F.lit(True).alias(f"{prefix}__present"),
+        )
+
+    a = state(ca, "a")
+    b = state(cb, "b")
+    cond = None
+    for k in key:
+        e = a[f"a_{k}"].eqNullSafe(b[f"b_{k}"])
+        cond = e if cond is None else cond & e
+    joined = a.join(b, cond, "full_outer")
+
+    def chg(prefix: str, ctype: str) -> F.Column:
+        return F.struct(
+            *[
+                F.coalesce(F.col(f"a_{k}"), F.col(f"b_{k}")).alias(k)
+                for k in key
+            ],
+            *[F.col(f"{prefix}_{c}").alias(c) for c in payload if c not in key],
+            F.col(f"{prefix}_lsn").alias("_lsn"),
+            *([F.col(f"{prefix}_origin").alias("_origin")] if has_origin else []),
+            F.lit(ctype).alias(CHANGE_TYPE_COL),
+        )
+
+    alive_a, alive_b = _alive("a"), _alive("b")
+    changes = (
+        F.when(~alive_a & alive_b, F.array(chg("b", "insert")))
+        .when(alive_a & ~alive_b, F.array(chg("a", "delete")))
+        .when(
+            alive_a & alive_b & ~F.col("a_lsn").eqNullSafe(F.col("b_lsn")),
+            F.array(chg("a", "update_preimage"), chg("b", "update_postimage")),
+        )
+    )
+    # explode skips null arrays — unchanged keys vanish in the same projection
+    out = joined.select(F.explode(changes).alias("__c")).select("__c.*")
+    return out
+
+
+def changes_as_feed(
+    table: LakeTable,
+    from_version: int,
+    to_version: int | None = None,
+    key: list[str] | None = None,
+) -> DataFrame:
+    """The snapshot diff re-expressed in the engine's change-event contract
+    (op/lsn/origin-less feed rows) so a downstream CdcPipeline can replay it:
+    insert/update_postimage → op='U' with the new payload, delete → op='D'
+    (payload from the pre-image, as binlogs do). Preimages are folded away —
+    a feed consumer only needs the post-state and the delete keys."""
+    d = snapshot_diff(table, from_version, to_version, key=key)
+    keep = d.filter(F.col(CHANGE_TYPE_COL) != "update_preimage")
+    payload = [c for c in d.columns if c not in ("_lsn", "_origin", CHANGE_TYPE_COL)]
+    origin = (
+        F.col("_origin") if "_origin" in d.columns else F.lit(None).cast("string")
+    )
+    return keep.select(
+        F.when(F.col(CHANGE_TYPE_COL) == "delete", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("_lsn").alias("lsn"),
+        origin.alias("origin"),
+        *payload,
+    )

@@ -1,0 +1,175 @@
+"""CDC pipeline end-to-end as driver-oracle queries.
+
+Until now the CDC core (merge/fences/changelog) was proven by pytest state
+oracles only; these queries put the *whole pipeline* — derive a
+deterministic change feed from the shared ``events`` table, replay it
+through CdcPipeline into a real lake table in two fenced epochs, then read
+the result — under the driver's DuckDB hash-comparison gate:
+
+- ``cdc_replayed_state``: the table's visible state after full replay must
+  equal the oracle's per-key max-lsn winner selection (op != 'D') — the
+  reference's final-data-verification re-expressed as a query
+  (api:engine/Engine.java:135-162).
+- ``cdc_snapshot_diff``: the row-level changelog (cdc/changelog.py) between
+  the first epoch's commit and the head must equal the oracle's full-outer
+  diff of the two winner states, including update pre/post images.
+
+The feed derivation (events → transcript mutations) is pure projection:
+op flips to 'D' on 'error' events, lsn = event_id (unique, total order),
+key = (conv_id, turn_idx = event_id mod 40 — forcing multi-version keys),
+delivery in lsn order split into exactly two epochs at B = max_lsn/2 + 1.
+The built table is cached per sf_dir so both queries (and repeated bench
+passes) replay once per session.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .base import t
+
+# events → change-feed projection, mirrored textually in the oracle CTE below
+_TURN_MOD = 40
+
+_FEED_SQL = f"""
+WITH ev AS (
+  SELECT 'c' || user_id AS conv_id,
+         (event_id % {_TURN_MOD})::INT AS turn_idx,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+         event_id AS lsn,
+         CASE WHEN (event_id % {_TURN_MOD}) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+         concat_ws(' ', event_type, props) AS text,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN event_type END AS tool,
+         ts
+  FROM events
+), b AS (SELECT max(lsn) // 2 + 1 AS cut FROM ev),
+w1 AS (
+  SELECT * FROM (SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+    FROM ev WHERE lsn < (SELECT cut FROM b)) WHERE rn = 1),
+w2 AS (
+  SELECT * FROM (SELECT *, row_number() OVER (
+      PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
+    FROM ev) WHERE rn = 1),
+s1 AS (SELECT * FROM w1 WHERE op <> 'D'),
+s2 AS (SELECT * FROM w2 WHERE op <> 'D')
+"""
+
+
+def _derived_feed(spark: SparkSession, sf: str) -> DataFrame:
+    ev = t(spark, sf, "events")
+    turn = (F.col("event_id") % _TURN_MOD).cast("int")
+    return ev.select(
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("event_id").alias("lsn"),
+        F.lit("events-parquet").alias("origin"),
+        F.concat(F.lit("c"), F.col("user_id")).alias("conv_id"),
+        turn.alias("turn_idx"),
+        F.when(turn % 2 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        F.concat_ws(" ", F.col("event_type"), F.col("props")).alias("text"),
+        F.when(F.col("event_type").isin("purchase", "signup"), F.col("event_type")).alias("tool"),
+        # the parquet testdata reads as TIMESTAMP_NTZ; the table schema is
+        # session-local TimestampType — same wall-clock values (UTC session)
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+
+
+# (table, first-epoch version, head version) per sf_dir — replay once per
+# session; every query over the same sf reuses the committed table
+_BUILT: dict[str, tuple] = {}
+
+
+def _replayed(spark: SparkSession, sf: str):
+    got = _BUILT.get(sf)
+    if got is not None:
+        return got
+    from ..cdc import CdcPipeline, PipelineConfig, transcript_schema
+    from ..lake import LakeTable, bucket, days
+
+    feed = _derived_feed(spark, sf)
+    # two epochs exactly: B = max_lsn/2 + 1 (one scalar to the driver —
+    # the same bounds probe CdcPipeline itself runs)
+    cut = feed.agg((F.max("lsn") / 2 + 1).cast("long")).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="cdc-queries-")
+    LakeTable.create(
+        spark, f"{root}/t", transcript_schema(), [days("ts"), bucket(8, "conv_id")]
+    )
+    cfg = PipelineConfig(
+        table_path=f"{root}/t",
+        checkpoint_dir=f"{root}/ckpt",
+        batch_size=int(cut),
+        fence_key="cdc-queries",
+    )
+    results = CdcPipeline(spark, cfg).run(feed)
+    table = LakeTable(spark, f"{root}/t")
+    out = (table, results[0].commit.version, results[-1].commit.version)
+    _BUILT[sf] = out
+    return out
+
+
+def cdc_replayed_state(spark: SparkSession, sf: str) -> DataFrame:
+    """Visible table state after the full two-epoch CoW replay."""
+    table, _v1, _v2 = _replayed(spark, sf)
+    return table.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
+CDC_REPLAYED_STATE_SQL = (
+    _FEED_SQL
+    + """
+SELECT conv_id, turn_idx, role, text, tool, ts FROM s2
+"""
+)
+
+
+def cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    """Row-level changelog between the first epoch's commit and the head."""
+    from ..cdc.changelog import CHANGE_TYPE_COL, snapshot_diff
+
+    table, v1, v2 = _replayed(spark, sf)
+    return snapshot_diff(table, v1, v2).select(
+        "conv_id",
+        "turn_idx",
+        F.col(CHANGE_TYPE_COL).alias("change_type"),
+        F.col("_lsn").alias("lsn"),
+        "text",
+    )
+
+
+CDC_SNAPSHOT_DIFF_SQL = (
+    _FEED_SQL
+    + """
+, j AS (
+  SELECT coalesce(s1.conv_id, s2.conv_id) AS conv_id,
+         coalesce(s1.turn_idx, s2.turn_idx) AS turn_idx,
+         s1.lsn a_lsn, s1.text a_text, s2.lsn b_lsn, s2.text b_text,
+         s1.conv_id IS NOT NULL AS alive_a, s2.conv_id IS NOT NULL AS alive_b
+  FROM s1 FULL OUTER JOIN s2
+    ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx)
+SELECT conv_id, turn_idx, 'insert' AS change_type, b_lsn AS lsn, b_text AS text
+  FROM j WHERE NOT alive_a AND alive_b
+UNION ALL
+SELECT conv_id, turn_idx, 'delete', a_lsn, a_text
+  FROM j WHERE alive_a AND NOT alive_b
+UNION ALL
+SELECT conv_id, turn_idx, 'update_preimage', a_lsn, a_text
+  FROM j WHERE alive_a AND alive_b AND a_lsn <> b_lsn
+UNION ALL
+SELECT conv_id, turn_idx, 'update_postimage', b_lsn, b_text
+  FROM j WHERE alive_a AND alive_b AND a_lsn <> b_lsn
+"""
+)
+
+
+QUERIES = {
+    "cdc_replayed_state": cdc_replayed_state,
+    "cdc_snapshot_diff": cdc_snapshot_diff,
+}
+
+ORACLES = {
+    "cdc_replayed_state": CDC_REPLAYED_STATE_SQL,
+    "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
+}

@@ -3,6 +3,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (
+    cdc_queries,
     config_queries,
     events_queries,
     ops_queries,
@@ -19,6 +20,7 @@ ORACLES = {}
 # and the newest/least-proven operators go first; tpch goes last so a cap
 # trims redundant classic shapes, not novel operators.
 for mod in (
+    cdc_queries,
     transcript_queries,
     events_queries,
     text_queries,
