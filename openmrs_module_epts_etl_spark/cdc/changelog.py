@@ -48,7 +48,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from ..functions._cache import cycle_persist
 from ..lake.table import Commit, DataFile, LakeTable, file_may_match
-from .dedupe import dedupe_latest
+from .dedupe import _join_back
 from .schemas import TRANSCRIPT_KEY
 
 CHANGE_TYPE_COL = "_change_type"
@@ -185,12 +185,20 @@ def snapshot_diff(
             rows = table.spark.createDataFrame([], schema)
         else:
             rows = table.read(files=files, include_hidden=True)
+        # narrow winner agg FIRST (per-key max is independent of other keys,
+        # so aggregate-then-restrict ≡ restrict-then-aggregate), then clip the
+        # tiny winner set to the touched keys, then one join-back: full-width
+        # rows cross exactly one exchange per side — the obvious
+        # (rows ⋉ touched) → dedupe order shuffles the whole candidate
+        # payload twice (semi + join-back) before any filtering
+        w = rows.select(*key, "_lsn").groupBy(*key).agg(F.max("_lsn").alias("_lsn"))
         cond = None
-        t = touched.hint("shuffle_hash")
+        t = touched
         for k in key:
-            e = rows[k].eqNullSafe(t[k])
+            e = w[k].eqNullSafe(t[k])
             cond = e if cond is None else cond & e
-        winners = dedupe_latest(rows.join(t, cond, "left_semi"), key=key, order_col="_lsn")
+        w = w.join(t, cond, "left_semi")
+        winners = _join_back(rows, w, key, "_lsn")
         return winners.select(
             *[F.col(k).alias(f"{prefix}_{k}") for k in key],
             *[F.col(c).alias(f"{prefix}_{c}") for c in payload if c not in key],

@@ -92,6 +92,18 @@ SHOWCASE = {
         "reads each side three times — at 100 TB per side that is 6 scans "
         "vs 2."
     ),
+    "cdc_snapshot_diff": (
+        "Row-level changelog between two table versions: each side's winner "
+        "set is a narrow (key, _lsn) scan broadcast-semi-restricted to the "
+        "touched keys (the cached InMemoryRelation — one scan of only the "
+        "files that differ between versions), partial-aggregated map-side, "
+        "then ONE full-width join-back per side; the unchanged bulk of the "
+        "table is pruned driver-side by bucket partition values and per-file "
+        "key stats before any I/O. Classification is a single full-outer "
+        "SortMergeJoin of the two touched-keys-sized winner sets with "
+        "update pre+post images emitted by one array/explode projection — "
+        "no branch recomputation."
+    ),
     "orders_enriched_querysource": (
         "The reference's per-row correlated @param query planned as broadcast "
         "joins: both chained extraQueryDataSources broadcast their dimension; "
