@@ -10,6 +10,7 @@ from .generator import FeedSpec, generate_feed
 from .dedupe import dedupe_latest, dedupe_latest_salted
 from .merge import MergeResult, compact, merge_into, vacuum_tombstones
 from .changelog import CHANGE_TYPE_COL, changes_as_feed, snapshot_diff
+from .follow import TableFollower
 from .mor import append_delta, compact_latest, read_state, table_changes_as_feed
 from .pipeline import CdcPipeline, PipelineConfig
 from .oracle import expected_state_pandas, expected_state_sql
@@ -35,6 +36,7 @@ __all__ = [
     "CHANGE_TYPE_COL",
     "snapshot_diff",
     "changes_as_feed",
+    "TableFollower",
     "append_delta",
     "compact_latest",
     "read_state",

@@ -101,9 +101,12 @@ def snapshot_diff(
 
     Returns one row per change: the table's user-facing payload columns plus
     ``_lsn`` (the emitted row's version stamp) and ``_change_type`` ∈
-    {insert, delete, update_preimage, update_postimage}. ``delete`` and
-    ``update_preimage`` carry the *old* row (version ``from_version``'s
-    winner); ``insert`` and ``update_postimage`` carry the new. A key whose
+    {insert, delete, update_preimage, update_postimage}. ``update_preimage``
+    carries the *old* row (version ``from_version``'s winner); ``insert``
+    and ``update_postimage`` carry the new; ``delete`` carries the old row's
+    payload stamped with the DELETING event's lsn (the retained tombstone's
+    — falling back to the pre-image lsn if the tombstone was vacuumed), so
+    a replayed delete survives a downstream lsn guard. A key whose
     winner is identical in both versions (same ``_lsn``) emits nothing —
     rewrites that only move rows between files (compaction, clustering,
     z-order, spec migration) therefore diff to zero rows.
@@ -216,22 +219,38 @@ def snapshot_diff(
         cond = e if cond is None else cond & e
     joined = a.join(b, cond, "full_outer")
 
-    def chg(prefix: str, ctype: str) -> F.Column:
+    def chg(prefix: str, ctype: str, stamp: str | None = None) -> F.Column:
+        """Change struct: payload from ``prefix``'s winner, version stamp
+        (_lsn/_origin) from ``stamp``'s (default: same side). A delete's
+        payload is the pre-image (side a) but its stamp is the DELETION —
+        side b's tombstone — falling back to the pre-image stamp only when
+        the tombstone was vacuumed: a downstream replay
+        (changes_as_feed → lsn-guarded MERGE) must see the delete as newer
+        than the row it removes, or the guard would skip it."""
+        stamp = stamp or prefix
         return F.struct(
             *[
                 F.coalesce(F.col(f"a_{k}"), F.col(f"b_{k}")).alias(k)
                 for k in key
             ],
             *[F.col(f"{prefix}_{c}").alias(c) for c in payload if c not in key],
-            F.col(f"{prefix}_lsn").alias("_lsn"),
-            *([F.col(f"{prefix}_origin").alias("_origin")] if has_origin else []),
+            F.coalesce(F.col(f"{stamp}_lsn"), F.col(f"{prefix}_lsn")).alias("_lsn"),
+            *(
+                [
+                    F.coalesce(
+                        F.col(f"{stamp}_origin"), F.col(f"{prefix}_origin")
+                    ).alias("_origin")
+                ]
+                if has_origin
+                else []
+            ),
             F.lit(ctype).alias(CHANGE_TYPE_COL),
         )
 
     alive_a, alive_b = _alive("a"), _alive("b")
     changes = (
         F.when(~alive_a & alive_b, F.array(chg("b", "insert")))
-        .when(alive_a & ~alive_b, F.array(chg("a", "delete")))
+        .when(alive_a & ~alive_b, F.array(chg("a", "delete", stamp="b")))
         .when(
             alive_a & alive_b & ~F.col("a_lsn").eqNullSafe(F.col("b_lsn")),
             F.array(chg("a", "update_preimage"), chg("b", "update_postimage")),

@@ -143,16 +143,18 @@ CDC_SNAPSHOT_DIFF_SQL = (
     _FEED_SQL
     + """
 , j AS (
-  SELECT coalesce(s1.conv_id, s2.conv_id) AS conv_id,
-         coalesce(s1.turn_idx, s2.turn_idx) AS turn_idx,
-         s1.lsn a_lsn, s1.text a_text, s2.lsn b_lsn, s2.text b_text,
-         s1.conv_id IS NOT NULL AS alive_a, s2.conv_id IS NOT NULL AS alive_b
-  FROM s1 FULL OUTER JOIN s2
-    ON s1.conv_id = s2.conv_id AND s1.turn_idx = s2.turn_idx)
+  SELECT coalesce(s1.conv_id, w2.conv_id) AS conv_id,
+         coalesce(s1.turn_idx, w2.turn_idx) AS turn_idx,
+         s1.lsn a_lsn, s1.text a_text, w2.lsn b_lsn, w2.text b_text,
+         s1.conv_id IS NOT NULL AS alive_a,
+         w2.conv_id IS NOT NULL AND w2.op <> 'D' AS alive_b
+  FROM s1 FULL OUTER JOIN w2
+    ON s1.conv_id = w2.conv_id AND s1.turn_idx = w2.turn_idx)
 SELECT conv_id, turn_idx, 'insert' AS change_type, b_lsn AS lsn, b_text AS text
   FROM j WHERE NOT alive_a AND alive_b
 UNION ALL
-SELECT conv_id, turn_idx, 'delete', a_lsn, a_text
+-- delete = pre-image payload stamped with the deleting event's lsn
+SELECT conv_id, turn_idx, 'delete', coalesce(b_lsn, a_lsn), a_text
   FROM j WHERE alive_a AND NOT alive_b
 UNION ALL
 SELECT conv_id, turn_idx, 'update_preimage', a_lsn, a_text

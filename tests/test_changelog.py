@@ -70,17 +70,19 @@ def oracle_diff(feed_pd: pd.DataFrame, seq_cut: int) -> pd.DataFrame:
           PARTITION BY conv_id, turn_idx ORDER BY lsn DESC) rn
         FROM ev) WHERE rn = 1),
     a AS (SELECT * FROM w1 WHERE op <> 'D'),
-    b AS (SELECT * FROM w2 WHERE op <> 'D'),
     j AS (SELECT coalesce(a.conv_id, b.conv_id) conv_id,
                  coalesce(a.turn_idx, b.turn_idx) turn_idx,
                  a.lsn a_lsn, a.text a_text, b.lsn b_lsn, b.text b_text,
-                 a.conv_id IS NOT NULL alive_a, b.conv_id IS NOT NULL alive_b
-          FROM a FULL OUTER JOIN b
+                 a.conv_id IS NOT NULL alive_a,
+                 b.conv_id IS NOT NULL AND b.op <> 'D' alive_b
+          FROM a FULL OUTER JOIN w2 b
             ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx)
     SELECT conv_id, turn_idx, b_lsn AS lsn, b_text AS text,
            'insert' AS change_type FROM j WHERE NOT alive_a AND alive_b
     UNION ALL
-    SELECT conv_id, turn_idx, a_lsn, a_text, 'delete'
+    -- a delete carries the pre-image payload stamped with the DELETING
+    -- event's lsn (the version-b tombstone winner), like the engine
+    SELECT conv_id, turn_idx, coalesce(b_lsn, a_lsn), a_text, 'delete'
       FROM j WHERE alive_a AND NOT alive_b
     UNION ALL
     SELECT conv_id, turn_idx, a_lsn, a_text, 'update_preimage'
