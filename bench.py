@@ -557,6 +557,10 @@ HEADLINE = [
     "ann_ivf_topk",
     # round-3: native session windows (streaming-capable twin of user_sessions)
     "session_window_agg",
+    # round-3: row-level changelog over the replayed lake table (the table
+    # build is cached per sf_dir in plans/cdc_queries, so the untimed pass
+    # pays the replay once and the timed passes measure the diff itself)
+    "cdc_snapshot_diff",
 ]
 
 

@@ -41,7 +41,7 @@ from pyspark.sql import SparkSession
 from .config import EtlItemConfig, run_etl_item
 
 
-OPERATION_TYPES = ("etl", "export", "transport", "load", "maintenance")
+OPERATION_TYPES = ("etl", "export", "transport", "load", "maintenance", "follow")
 
 
 @dataclass
@@ -65,6 +65,11 @@ class OperationConfig:
                       from {compact, vacuum_tombstones, expire_snapshots,
                       migrate_layout, remove_orphans, rewrite_clustered}
                       against ``tablePath`` (see ``_run_maintenance``)
+    - ``follow``    — propagate an upstream table's committed changes into a
+                      downstream table (cdc/follow.TableFollower — the
+                      table-as-feed chained stage; options: ``srcPath``,
+                      ``dstPath``, ``checkpointDir``, optional ``key``,
+                      ``mode`` cow|mor)
     """
 
     name: str
@@ -173,6 +178,8 @@ class ProcessRunner:
                     results.append(("load", self._run_load(op)))
                 elif op.op_type == "maintenance":
                     results.append(("maintenance", self._run_maintenance(op)))
+                elif op.op_type == "follow":
+                    results.append(("follow", self._run_follow(op)))
                 elif op.processing_mode == "parallel" and len(op.items) > 1:
                     with ThreadPoolExecutor(max_workers=op.max_item_threads) as ex:
                         futures = [ex.submit(run_item, item) for item in op.items]
@@ -232,6 +239,31 @@ class ProcessRunner:
         if os.path.exists(os.path.join(out_dir, tag)):
             return {"skipped": True, "batch": tag}
         return json_export(build_item_frame(self.spark, item, self.params), out_dir, tag)
+
+    def _run_follow(self, op: OperationConfig) -> dict:
+        """Table→table change propagation as a chained operation: poll the
+        upstream commit log until caught up. Re-running after a crash is safe
+        — each poll's downstream commit is fenced by the upstream head
+        version (cdc/follow.py), so a replayed interval is a no-op."""
+        from .cdc.follow import TableFollower
+
+        o = op.options
+        follower = TableFollower(
+            self.spark,
+            o["srcPath"],
+            o["dstPath"],
+            o["checkpointDir"],
+            key=o.get("key"),
+            fence_key=o.get("fenceKey", f"{self.process_name}:{op.name}"),
+            mode=o.get("mode", "cow"),
+        )
+        results = follower.run_until_caught_up()
+        return {
+            "polls": len(results),
+            "skipped": sum(1 for r in results if r.skipped_epoch),
+            "applied": [r.applied for r in results if r.applied],
+            "last_propagated": follower.last_propagated(),
+        }
 
     def _run_maintenance(self, op: OperationConfig) -> dict:
         """Scheduled lake maintenance as a chained operation (the analog of

@@ -108,6 +108,34 @@ def test_follower_mor_downstream(spark, tmp_path):
     pd.testing.assert_frame_equal(_state(src.read()), _state(read_state(dst)))
 
 
+def test_follow_as_process_operation(spark, tmp_path):
+    """op_type='follow' wires the follower into the process layer: chained
+    after the upstream stage, status FINISHED, state equality downstream."""
+    from openmrs_module_epts_etl_spark.process import OperationConfig, ProcessRunner
+
+    tmp = str(tmp_path)
+    feed, pipe, _ = _setup(spark, tmp)
+    pipe.run(feed)
+    op = OperationConfig(
+        name="mirror",
+        op_type="follow",
+        options={
+            "srcPath": f"{tmp}/src",
+            "dstPath": f"{tmp}/dst",
+            "checkpointDir": f"{tmp}/fckpt-op",
+        },
+    )
+    out = ProcessRunner(spark, "proc", f"{tmp}/status").run([op], run_id=0)
+    assert out["mirror"]["state"] == "FINISHED"
+    assert out["mirror"]["items"]["follow"]["polls"] >= 1
+    src = LakeTable(spark, f"{tmp}/src")
+    dst = LakeTable(spark, f"{tmp}/dst")
+    pd.testing.assert_frame_equal(_state(src.read()), _state(dst.read()))
+    # second run: already caught up — zero polls, state untouched
+    out2 = ProcessRunner(spark, "proc2", f"{tmp}/status2").run([op], run_id=1)
+    assert out2["mirror"]["items"]["follow"]["polls"] == 0
+
+
 def test_follower_transform_hook(spark, tmp_path):
     """The chained stage's transform step: a projection on the change feed
     (op/lsn/key preserved) lands transformed downstream."""
