@@ -11,7 +11,13 @@ from .dedupe import dedupe_latest, dedupe_latest_salted
 from .merge import MergeResult, compact, merge_into, vacuum_tombstones
 from .changelog import CHANGE_TYPE_COL, changes_as_feed, snapshot_diff
 from .follow import TableFollower
-from .mor import append_delta, compact_latest, read_state, table_changes_as_feed
+from .mor import (
+    append_delta,
+    compact_latest,
+    compact_partitions,
+    read_state,
+    table_changes_as_feed,
+)
 from .pipeline import CdcPipeline, PipelineConfig
 from .oracle import expected_state_pandas, expected_state_sql
 
@@ -39,6 +45,7 @@ __all__ = [
     "TableFollower",
     "append_delta",
     "compact_latest",
+    "compact_partitions",
     "read_state",
     "table_changes_as_feed",
     "CdcPipeline",

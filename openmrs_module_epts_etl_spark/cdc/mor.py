@@ -145,6 +145,64 @@ def table_changes_as_feed(
     )
 
 
+def compact_partitions(
+    table: LakeTable,
+    key: list[str] | None = None,
+    min_files: int = 8,
+    fence_key: str | None = None,
+    epoch_id: int | None = None,
+    keep_tombstones: bool = True,
+) -> Commit | None:
+    """Partition-selective compaction: collapse versions only in partitions
+    holding ≥ ``min_files`` data files — the bounded-I/O form a 100 TB MoR
+    table actually runs (``compact_latest``'s whole-table rewrite is the
+    small-table / migration tool; at scale compaction must touch only the
+    hot buckets the ingest skew keeps appending to).
+
+    Correctness does not depend on partition semantics at all: the dedupe is
+    max-``_lsn`` restricted to the SELECTED FILES, and any row it discards
+    is dominated by a same-key higher-lsn row inside the selection — which
+    dominates it globally too, so ``read_state``'s global winner selection
+    is unchanged. A key whose global winner lives in an unselected file may
+    keep a locally-winning stale version; the read-time contest still picks
+    the global winner. Old-spec files in a selected group get rewritten
+    under the current spec as a side effect (incremental layout migration).
+
+    Cost: O(selected partitions), one dedupe shuffle over their rows. Files
+    grouped by (spec_id, partition tuple) — stale pre-evolution partition
+    values only affect GROUPING granularity, never correctness."""
+    key = key or TRANSCRIPT_KEY
+    if fence_key is not None and epoch_id is not None:
+        if table.epoch_already_applied(fence_key, epoch_id):
+            return None
+    groups: dict[tuple, list] = {}
+    for f in table.files:
+        groups.setdefault((f.spec_id, tuple(sorted(f.partition.items()))), []).append(f)
+    selected = [f for g in groups.values() if len(g) >= min_files for f in g]
+    if not selected:
+        return None
+    df = table.read(files=selected, include_hidden=True)
+    winners = dedupe_latest(df, key=key, order_col="_lsn")
+    if not keep_tombstones:
+        winners = winners.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
+    epoch = {"fence_key": fence_key, "epoch_id": epoch_id} if fence_key is not None else None
+    return table.overwrite_partitions(
+        winners,
+        replaced=selected,
+        epoch=epoch,
+        metrics={
+            "applied": {
+                "compacted_files": len(selected),
+                "compacted_partitions": sum(
+                    1 for g in groups.values() if len(g) >= min_files
+                ),
+                "skipped_files": len(table.files) - len(selected),
+            },
+            "mode": "mor-compact-partitions",
+        },
+    )
+
+
 def compact_latest(
     table: LakeTable,
     key: list[str] | None = None,

@@ -50,6 +50,11 @@ class PipelineConfig:
     # — see cdc/mor.py; read the table via mor.read_state between compactions)
     mode: str = "cow"
     compact_every: int | None = 8  # mor only: compact after every K epochs
+    # mor only: when set, the periodic compaction is PARTITION-SELECTIVE —
+    # only partitions holding >= this many data files are rewritten
+    # (mor.compact_partitions; bounded I/O, the 100 TB shape). None keeps the
+    # whole-table compact_latest (small tables / full relayout).
+    compact_min_files: int | None = None
     # mor only: pre-collapse each epoch to one row per key before appending
     # (append_delta(dedupe=True)). Pure compression — read-time/compaction
     # winner selection resolves per-key versions either way, so final state
@@ -141,19 +146,28 @@ class CdcPipeline:
                     qtable, bad, epoch_id=epoch, fence_key=cfg.fence_key + "-quarantine"
                 )
             if cfg.mode == "mor":
-                from .mor import append_delta, compact_latest
+                from .mor import append_delta, compact_latest, compact_partitions
 
                 res = append_delta(
                     table, batch, key=list(cfg.key), fence_key=cfg.fence_key,
                     epoch_id=epoch, dedupe=cfg.mor_dedupe_appends,
                 )
                 if cfg.compact_every and (epoch + 1) % cfg.compact_every == 0:
-                    compact_latest(
-                        table,
-                        key=list(cfg.key),
-                        fence_key=cfg.fence_key + "-compact",
-                        epoch_id=epoch,
-                    )
+                    if cfg.compact_min_files is not None:
+                        compact_partitions(
+                            table,
+                            key=list(cfg.key),
+                            min_files=cfg.compact_min_files,
+                            fence_key=cfg.fence_key + "-compact",
+                            epoch_id=epoch,
+                        )
+                    else:
+                        compact_latest(
+                            table,
+                            key=list(cfg.key),
+                            fence_key=cfg.fence_key + "-compact",
+                            epoch_id=epoch,
+                        )
             else:
                 res = merge_into(
                     table,

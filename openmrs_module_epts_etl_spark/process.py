@@ -271,8 +271,8 @@ class ProcessRunner:
         DATABASE_PREPARATION-style DDL passes). ``options``:
 
         - ``tablePath`` (required) and ``actions``: ordered subset of
-          {compact, vacuum_tombstones, expire_snapshots, migrate_layout,
-          remove_orphans, rewrite_clustered};
+          {compact, compact_partitions, vacuum_tombstones, expire_snapshots,
+          migrate_layout, remove_orphans, rewrite_clustered};
         - per-action kwargs under the action's name, camelCase keys
           converted verbatim (e.g. ``{"rewrite_clustered": {"columns":
           ["conv_id"]}}``, ``{"vacuum_tombstones": {"min_lsn_keep": N}}``).
@@ -281,6 +281,7 @@ class ProcessRunner:
         no-op when nothing qualifies), so re-running the operation after a
         crash is safe — same property as every other op_type here."""
         from .cdc.merge import compact, vacuum_tombstones
+        from .cdc.mor import compact_partitions
         from .lake import (
             LakeTable,
             expire_snapshots,
@@ -293,6 +294,9 @@ class ProcessRunner:
         table = LakeTable(self.spark, o["tablePath"])
         runners = {
             "compact": lambda kw: {"committed": compact(table, **kw) is not None},
+            "compact_partitions": lambda kw: {
+                "committed": compact_partitions(table, **kw) is not None
+            },
             "vacuum_tombstones": lambda kw: {
                 "committed": vacuum_tombstones(table, **kw) is not None
             },

@@ -97,6 +97,60 @@ def test_mor_compaction_shrinks_and_preserves(spark, tmp_path, feed):
     assert t.refresh().version == v
 
 
+def test_mor_selective_compaction_bounded_and_state_invariant(spark, tmp_path, feed):
+    """compact_partitions touches ONLY partitions at/over the file threshold:
+    state is unchanged (local winners discard only globally-dominated rows),
+    files in cold partitions are byte-identical survivors, and the hot
+    partitions collapse. A second run at the same fence is a no-op."""
+    from collections import Counter
+
+    from openmrs_module_epts_etl_spark.cdc import compact_partitions
+
+    pay = payload_columns(feed.drop("delivery_seq").schema)
+    t, pipe = _mor_pipe(spark, tmp_path, "t3sel")
+    pipe.run(feed)
+    t.refresh()
+    files_before = {f.path for f in t.files}
+    per_part = Counter(tuple(sorted(f.partition.items())) for f in t.files)
+    thresh = 4
+    hot = {p for p, n in per_part.items() if n >= thresh}
+    cold_files = {
+        f.path for f in t.files if tuple(sorted(f.partition.items())) not in hot
+    }
+    assert hot and cold_files, "feed must produce both hot and cold partitions"
+    c = compact_partitions(t, min_files=thresh, fence_key="sel-compact", epoch_id=0)
+    assert c is not None
+    t.refresh()
+    files_after = {f.path for f in t.files}
+    # cold partitions untouched — the bounded-I/O guarantee
+    assert cold_files <= files_after
+    # hot partitions rewritten: none of their old files survive
+    assert not (files_before - cold_files) & files_after
+    _assert_matches(spark, t, feed, pay)
+    # fenced: replay is a no-op
+    v = t.version
+    assert compact_partitions(t, min_files=thresh, fence_key="sel-compact", epoch_id=0) is None
+    assert t.refresh().version == v
+    # below-threshold table: nothing qualifies, no commit
+    assert compact_partitions(t, min_files=10_000) is None
+
+
+def test_mor_pipeline_policy_compaction(spark, tmp_path, feed):
+    """PipelineConfig.compact_min_files routes the periodic compaction to
+    the partition-selective path; final state still matches the oracle."""
+    pay = payload_columns(feed.drop("delivery_seq").schema)
+    t = LakeTable.create(
+        spark, str(tmp_path / "t3pol"), transcript_schema(evolved=False),
+        [days("ts"), bucket(8, "conv_id")],
+    )
+    cfg = PipelineConfig(
+        table_path=t.path, checkpoint_dir=str(tmp_path / "t3pol-ck"),
+        batch_size=700, mode="mor", compact_every=3, compact_min_files=3,
+    )
+    CdcPipeline(spark, cfg).run(feed)
+    _assert_matches(spark, t, feed, pay)
+
+
 def test_mor_dedupe_appends_same_state_fewer_rows(spark, tmp_path, feed):
     """mor_dedupe_appends=True pre-collapses each epoch per key: identical
     final state (read-time winner selection is the same), strictly fewer
