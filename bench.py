@@ -110,6 +110,32 @@ def _protocol_fingerprint() -> str:
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
+# Absolute host-speed floors (tasks/sec from the calibration probes), taken
+# from the five-pair quiet-host record in the round-2 committed artifact
+# (valid pairs ran the bw probe at 4.85-5.1 / 20.5-22.6 tasks/s at 2/8 cores
+# and the cache probe at 3.09-3.65 / 11.8-13.6), each floor ~10-15% under the
+# slowest quiet observation. Rationale: ratio gates cannot see UNIFORM
+# co-tenant steal — a host running both probes at 70% of its idle speed still
+# shows clean hi/lo ratios, but the engine's 8-core level needs the socket's
+# ABSOLUTE bandwidth (BASELINE.md documents DRAM contention as the scaling
+# limiter), and on such a window it under-scales against a normalization
+# denominator that never budged. The single-socket stand-in for a 4×-node
+# cluster is only faithful when the socket's full idle bandwidth is actually
+# on offer. Floors are host-signal-only (never the engine's own result) and
+# env-tunable for a different host class.
+_ABS_FLOORS = {
+    "c_lo": ("SPARK_GRAFT_MIN_CAL_LO_ABS", 2.8),
+    "c_hi": ("SPARK_GRAFT_MIN_CAL_HI_ABS", 10.5),
+    "cb_lo": ("SPARK_GRAFT_MIN_BW_LO_ABS", 4.3),
+    "cb_hi": ("SPARK_GRAFT_MIN_BW_HI_ABS", 17.5),
+}
+
+
+def _abs_floor(name: str) -> float:
+    env, default = _ABS_FLOORS[name]
+    return float(os.environ.get(env, str(default)))
+
+
 def _gate_check(
     c_lo: float, c_hi: float, c_lo2: float,
     cb_lo: float, cb_hi: float, cb_lo2: float,
@@ -134,6 +160,12 @@ def _gate_check(
         bad.append(f"lo-calibration drift {drift:.3f} outside [0.8, 1.25]")
     if not (0.67 <= bw_drift <= 1.5):
         bad.append(f"lo-bw-calibration drift {bw_drift:.3f} outside [0.67, 1.5]")
+    for name, val in (("c_lo", c_lo_mean), ("c_hi", c_hi),
+                      ("cb_lo", (cb_lo * cb_lo2) ** 0.5), ("cb_hi", cb_hi)):
+        floor = _abs_floor(name)
+        if val < floor:
+            bad.append(f"absolute {name} calibration {val:.2f} < {floor} tasks/s "
+                       f"(host slower than its own idle speed — co-tenant steal)")
     return bad, ceil_u, bw_ceil_u
 
 
@@ -1332,7 +1364,15 @@ budged, so the pair enters the median at a penalty that measures the
 co-tenant. A window whose own streaming-numpy scaling is below {min_bw_ceil}
 cannot evidence the engine either way and is rejected — cheaply, by
 pre-gating on the before-level calibrations so the engine levels are never
-run. Validity is re-derived from each pair's stored calibration numbers under
+run. Ratio gates alone cannot see UNIFORM co-tenant steal (a host running
+both probes at 70% of idle speed still shows clean hi/lo ratios, while the
+engine's 8-core level starves on the socket's reduced ABSOLUTE bandwidth), so
+each pair must also clear absolute calibration floors set ~10-15% under the
+slowest quiet-host observation on record (cache ≥ {_abs_floor("c_lo")}/{_abs_floor("c_hi")},
+bw ≥ {_abs_floor("cb_lo")}/{_abs_floor("cb_hi")} tasks/s at lo/hi cores; env-tunable) —
+the single-socket stand-in for a 4×-node cluster is only faithful when the
+socket's full idle bandwidth is actually on offer.
+Validity is re-derived from each pair's stored calibration numbers under
 the gates in force at load time, so a gate change re-judges every pooled pair
 identically instead of grandfathering old admissions. Invalid pairs are still
 reported (JSON `scaling.all_pairs`, with `invalid_reasons`) so nothing is
