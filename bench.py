@@ -385,7 +385,7 @@ def _replay(
         generate_feed,
         transcript_schema,
     )
-    from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days
+    from openmrs_module_epts_etl_spark.lake import LakeTable, days, mbucket
 
     if feed_path is not None:
         feed = spark.read.parquet(feed_path)
@@ -394,7 +394,7 @@ def _replay(
         feed.count()
     wd = os.path.join(work, tag)
     tpath = os.path.join(wd, "transcripts")
-    LakeTable.create(spark, tpath, transcript_schema(), [days("ts"), bucket(16, "conv_id")])
+    LakeTable.create(spark, tpath, transcript_schema(), [days("ts"), mbucket(16, "conv_id")])
     pipe = CdcPipeline(
         spark,
         PipelineConfig(
@@ -482,7 +482,7 @@ def stream_child(cores: int, n_events: int, work: str) -> None:
     import time as _t
 
     from openmrs_module_epts_etl_spark.cdc import generate_feed, transcript_schema
-    from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days
+    from openmrs_module_epts_etl_spark.lake import LakeTable, days, mbucket
     from openmrs_module_epts_etl_spark.streaming import StreamingCdcRunner
 
     sys.path.insert(0, REPO)
@@ -494,7 +494,7 @@ def stream_child(cores: int, n_events: int, work: str) -> None:
                 files
             ).write.parquet(fd)
             tp = os.path.join(work, f"t-{tag}")
-            LakeTable.create(spark, tp, transcript_schema(), [days("ts"), bucket(16, "conv_id")])
+            LakeTable.create(spark, tp, transcript_schema(), [days("ts"), mbucket(16, "conv_id")])
             r = StreamingCdcRunner(
                 spark, fd, spark.read.parquet(fd).schema, tp,
                 os.path.join(work, f"ck-{tag}"), max_files_per_trigger=4,

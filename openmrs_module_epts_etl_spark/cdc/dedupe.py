@@ -125,6 +125,77 @@ def _join_back(events: DataFrame, winners: DataFrame, key: list[str], order_col:
     return events.join(w, cond, "left_semi")
 
 
+def dedupe_latest_clustered(
+    events: DataFrame,
+    key: list[str] | None = None,
+    order_col: str = "lsn",
+    cluster_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``dedupe_latest`` arranged around ONE payload exchange.
+
+    The plain path exchanges the payload on (key, order) for the semi-join
+    and leaves the output partitioned by a key the partitioned write cannot
+    use, so a caller that writes the winners pays a second payload exchange
+    (write clustering) plus the narrow winner-aggregation exchange. Here the
+    payload is repartitioned ONCE on ``cluster_col`` (a prefix of ``key`` —
+    conv_id for transcripts), and Catalyst keeps everything downstream
+    exchange-free: HashPartitioning(cluster_col) satisfies the aggregation's
+    ClusteredDistribution(key) because the partitioning expressions are a
+    subset of the grouping keys, the semi-join's both sides carry the
+    identical partitioning (the winner side inherits it through the
+    partition-local aggregate), and the output still clusters by
+    cluster_col — so a table whose spec buckets by ``mbucket(n, cluster_col)``
+    can write it with ``arrange=False`` and ZERO further exchange as long as
+    ``num_partitions`` is a multiple of n (task id ``pmod(hash(c), N)``
+    determines bucket ``pmod(hash(c), n)``; lake/partitioning.py:mbucket).
+
+    Use when the caller controls the write layout (MoR compaction,
+    deduped-epoch appends). Skew note: after winner selection a hot conv_id
+    is at most one row per turn, so the post-dedupe write skew the plain
+    path's REBALANCE guards against is structurally absent; the PRE-dedupe
+    hot-conv concentration (one task aggregating a 30%-hot conversation) is
+    bounded by the narrow aggregation's map-side combine, same as the plain
+    path.
+
+    CONTRACT (unlike the generic ``dedupe_latest``): key and order columns
+    must be non-NULL — the join-back here uses plain equality, because
+    eqNullSafe keys compile to ``coalesce(k, d), isnull(k)`` expression
+    pairs and Catalyst then requires clustering on THOSE, which a
+    repartition on the raw column can never satisfy (every exchange comes
+    back). The CDC feed contract already guarantees non-null (conv_id,
+    turn_idx, lsn); a row with a NULL key or order value is silently
+    dropped, so callers outside that contract want ``dedupe_latest``."""
+    key = key or TRANSCRIPT_KEY
+    cluster_col = cluster_col or key[0]
+    assert cluster_col in key, "cluster_col must be part of the key"
+    cols = events.columns
+
+    def _cluster(df: DataFrame) -> DataFrame:
+        if num_partitions:
+            return df.repartition(num_partitions, F.col(cluster_col))
+        return df.repartition(F.col(cluster_col))
+
+    # The narrow branch repartitions a PRE-PROJECTED (key, order) frame
+    # rather than sharing the payload exchange: exchange reuse would make the
+    # aggregation re-READ the full-width shuffle (no column pruning through a
+    # reused exchange), doubling shuffle-read bytes to save a ~24-byte/row
+    # map side. Both exchanges hash the same expression to the same count, so
+    # the join and the downstream write stay exchange-free either way.
+    clustered = _cluster(events)
+    winners = (
+        _cluster(events.select(*key, order_col))
+        .groupBy(*key)
+        .agg(F.max(order_col).alias(order_col))
+    )
+    w = winners.hint("shuffle_hash")
+    cond = None
+    for c in [*key, order_col]:
+        e = clustered[c] == w[c]
+        cond = e if cond is None else cond & e
+    return clustered.join(w, cond, "left_semi").select(*cols)
+
+
 def dedupe_latest_salted(
     events: DataFrame,
     key: list[str] | None = None,

@@ -39,9 +39,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..lake.table import Commit, LakeTable
-from .dedupe import dedupe_latest
+from .dedupe import dedupe_latest, dedupe_latest_clustered
 from .merge import MergeResult
 from .schemas import TRANSCRIPT_KEY, payload_columns
+
+
+def _clustered_plan(table: LakeTable, key: list[str]) -> tuple[str, int] | None:
+    """(cluster_col, num_partitions) when the table's spec murmur-buckets a
+    key column — the layout under which a single ``repartition(N, col)``
+    serves the dedupe aggregation, the semi join-back, AND the partitioned
+    write (``arrange=False``): N is the shuffle-partition count rounded up to
+    a multiple of the bucket count so the task id determines the bucket
+    (lake/partitioning.py:mbucket). xxhash64 ``bucket`` specs return None —
+    their bucket value is not derivable from Spark's task assignment."""
+    for p in table.partition_spec:
+        if p.transform.startswith("mbucket(") and p.source in key:
+            n = int(p.transform[len("mbucket(") :].split(",")[0])
+            sp = int(table.spark.conf.get("spark.sql.shuffle.partitions", "200"))
+            return p.source, max(-(-sp // n) * n, n)
+    return None
+
+
+def _dedupe_for_table(
+    table: LakeTable, df: DataFrame, key: list[str], order_col: str
+) -> tuple[DataFrame, bool]:
+    """Winner selection shaped to the table's layout: clustered one-exchange
+    plan when the spec allows (second return True → write with
+    ``arrange=False``), the generic narrow-agg + join-back otherwise."""
+    plan = _clustered_plan(table, key)
+    if plan:
+        return (
+            dedupe_latest_clustered(
+                df, key=key, order_col=order_col,
+                cluster_col=plan[0], num_partitions=plan[1],
+            ),
+            True,
+        )
+    return dedupe_latest(df, key=key, order_col=order_col), False
 
 
 def append_delta(
@@ -71,7 +105,11 @@ def append_delta(
             return MergeResult(commit=None, skipped_epoch=True)
     epoch = {"fence_key": fence_key, "epoch_id": epoch_id} if fence_key is not None else None
 
-    batch = dedupe_latest(events, key=key) if dedupe else events
+    clustered = False
+    if dedupe:
+        batch, clustered = _dedupe_for_table(table, events, key, "lsn")
+    else:
+        batch = events
     is_del = F.col("op") == "D"
     cols = [F.col(k) for k in key]
     for c in payload_columns(events.schema):
@@ -104,7 +142,7 @@ def append_delta(
     new_schema = table.evolved_schema(delta.schema)
     if new_schema is not None:
         table._commit.schema_json = new_schema.json()
-    added, _ = table.write_data_files(delta)
+    added, _ = table.write_data_files(delta, arrange=not clustered)
     applied = {k: int(v) for k, v in obs.get.items() if v}
     commit = table.commit(
         added, epoch=epoch, new_schema=new_schema,
@@ -182,7 +220,7 @@ def compact_partitions(
     if not selected:
         return None
     df = table.read(files=selected, include_hidden=True)
-    winners = dedupe_latest(df, key=key, order_col="_lsn")
+    winners, clustered = _dedupe_for_table(table, df, key, "_lsn")
     if not keep_tombstones:
         winners = winners.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     epoch = {"fence_key": fence_key, "epoch_id": epoch_id} if fence_key is not None else None
@@ -190,6 +228,7 @@ def compact_partitions(
         winners,
         replaced=selected,
         epoch=epoch,
+        arrange=not clustered,
         metrics={
             "applied": {
                 "compacted_files": len(selected),
@@ -224,7 +263,7 @@ def compact_latest(
     if not files:
         return None
     df = table.read(files=files, include_hidden=True)
-    winners = dedupe_latest(df, key=key, order_col="_lsn")
+    winners, clustered = _dedupe_for_table(table, df, key, "_lsn")
     if not keep_tombstones:
         winners = winners.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     epoch = {"fence_key": fence_key, "epoch_id": epoch_id} if fence_key is not None else None
@@ -232,5 +271,6 @@ def compact_latest(
         winners,
         replaced=files,
         epoch=epoch,
+        arrange=not clustered,
         metrics={"applied": {"compacted_files": len(files)}, "mode": "mor-compact"},
     )

@@ -5,7 +5,7 @@ from .maintenance import (
     remove_orphan_files,
     rollback_to_version,
 )
-from .partitioning import PartitionField, bucket, days, identity
+from .partitioning import PartitionField, bucket, days, identity, mbucket
 from .table import LakeTable, file_may_match
 
 __all__ = [
@@ -16,6 +16,7 @@ __all__ = [
     "bucket",
     "days",
     "identity",
+    "mbucket",
     "expire_snapshots",
     "migrate_layout",
     "remove_orphan_files",

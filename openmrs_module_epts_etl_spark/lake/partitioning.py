@@ -58,6 +58,27 @@ def bucket(n: int, source: str, name: str | None = None) -> PartitionField:
     )
 
 
+def mbucket(n: int, source: str, name: str | None = None) -> PartitionField:
+    """bucket(n, col) using Spark's Murmur3 ``F.hash`` — the SAME hash
+    HashPartitioning applies under ``df.repartition(N, col)``. That identity
+    is the point: when N is a multiple of n, ``pmod(hash(col), N) == p``
+    implies ``pmod(hash(col), n) == p % n``, so every task of a
+    conv_id-repartitioned plan holds exactly ONE bucket and a partitioned
+    write needs no further clustering exchange (write_data_files
+    ``arrange=False``). Pruning/layout semantics are identical to
+    ``bucket``; choose mbucket when the write path should be able to reuse a
+    join/aggregation repartition as its clustering (the MoR compaction and
+    dedupe-append paths do), plain bucket when xxhash64's seed-stability
+    story is preferred. Murmur3 with Spark's fixed seed 42 is equally
+    deterministic across executors and versions in practice."""
+    return PartitionField(
+        name=name or f"{source}_bucket",
+        source=source,
+        transform=f"mbucket({n}, {source})",
+        expr_fn=lambda c: F.pmod(F.hash(F.col(c)), F.lit(n)).cast("int"),
+    )
+
+
 def identity(source: str, name: str | None = None) -> PartitionField:
     return PartitionField(
         name=name or source,
@@ -76,6 +97,9 @@ def from_json(spec: list[dict]) -> list[PartitionField]:
         elif t.startswith("bucket("):
             n = int(t[len("bucket(") :].split(",")[0])
             out.append(bucket(n, f["source"], f["name"]))
+        elif t.startswith("mbucket("):
+            n = int(t[len("mbucket(") :].split(",")[0])
+            out.append(mbucket(n, f["source"], f["name"]))
         elif t.startswith("identity("):
             out.append(identity(f["source"], f["name"]))
         else:  # pragma: no cover

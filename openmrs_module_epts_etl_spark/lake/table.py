@@ -951,10 +951,11 @@ class LakeTable:
         epoch: dict | None = None,
         metrics: dict | None = None,
         new_schema: StructType | None = None,
+        arrange: bool = True,
     ) -> Commit:
         if new_schema is not None:
             self._commit.schema_json = new_schema.json()
-        added, _ = self.write_data_files(df)
+        added, _ = self.write_data_files(df, arrange=arrange)
         return self.commit(
             added,
             remove_paths={f.path for f in replaced},

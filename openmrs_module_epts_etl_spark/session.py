@@ -77,6 +77,15 @@ def get_spark(
             "spark.sql.parquet.compression.codec",
             os.environ.get("SPARK_GRAFT_PARQUET_CODEC", "snappy"),
         )
+        # Accept subset-key co-partitioning for joins (hashpartitioning on
+        # conv_id satisfying a join on (conv_id, turn_idx, lsn)): the default
+        # TRUE exists because subset keys can concentrate skew, but it also
+        # vetoes the deliberately engineered one-exchange dedupe plan
+        # (cdc/dedupe.py:dedupe_latest_clustered) where the cluster column is
+        # chosen to dominate the key. Only activates when both children are
+        # ALREADY compatibly partitioned — plans that would shuffle anyway
+        # are unaffected.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
