@@ -23,15 +23,31 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master == "local[*]" and cpus:
         master = f"local[{cpus}]"
+    # local[N] → N; a real cluster would use 2-3× total executor cores.
+    inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
+    session_cores = (os.cpu_count() or 8) if inner in ("*", "") else int(inner)
     if shuffle_partitions is None:
-        # local[N] → N; a real cluster would use 2-3× total executor cores.
-        inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
-        shuffle_partitions = (os.cpu_count() or 8) if inner == "*" else int(inner)
+        shuffle_partitions = session_cores
 
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scan-side parallelism floor. FilePartition packing targets
+        # bytesPerCore = totalBytes / defaultParallelism, so a medium table
+        # (one that fits in ~cores × maxPartitionBytes) scans as EXACTLY one
+        # task per core — a single wave with no slack, where any per-task
+        # asymmetry (pushdown pruning keeping uneven row-group subsets, a
+        # straggling vCPU) becomes a stage-long tail with idle cores behind
+        # it. Measured on the 8M-event MoR replay at 8 pinned cores: scan
+        # stages ran as 8 tasks with a 3.2s max over a 1.9s mean, total
+        # replay+compact 23.5s at 0.68 core-utilization; floored to the same
+        # 2-3×-cores rule the shuffle side uses, the same run is 18.9s at
+        # 0.84 utilization (2-core level unchanged — its 8 tasks already
+        # formed 4 self-balancing waves). Large tables are unaffected
+        # (maxPartitionBytes still caps split size); this only splits scans
+        # that would otherwise under-wave the executors.
+        .config("spark.sql.files.minPartitionNum", str(4 * session_cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -62,10 +78,26 @@ def get_spark(
         # context-switching throttles the whole map stage. The sort writer
         # compresses one spill stream at a time per task. Measured on the
         # 32M-event MoR replay at local[32]: 333k (zstd/bypass) -> 659k
-        # events/s (zstd/sort) vs 458k for the best lz4 config. On a real
-        # cluster reduce-partition counts exceed 200 anyway, so this pins the
-        # cluster behavior rather than changing it.
-        .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+        # events/s (zstd/sort) vs 458k for the best lz4 config.
+        #
+        # BELOW ~64 reduce partitions the trade inverts: the sort writer
+        # buffers every row in execution memory before writing, and a
+        # payload-wide exchange (the MoR compaction clustering 32M rows for
+        # its partitioned write) overflows the per-task share — measured
+        # 2.9 GB spilled and 159 CPU-s on ONE map stage at 8 cores, with the
+        # whole-run CPU bill 1.5× the 2-core level's for identical work
+        # (spill encode/decode cycles), capping N→4N scaling at ~0.63. The
+        # bypass writer streams straight to per-partition files with no
+        # buffering, and at ≤64 partitions its open-stream count stays modest
+        # even at 32 concurrent tasks. Same replay, 64-partition compaction
+        # exchange at local[32]: compact 42.5s -> 18.0s, total CPU 1287s ->
+        # 752s; 32M scale pair total 77s -> 56s at 8 cores, 196s -> 187s at
+        # 2 cores (raw N→4N 0.63 -> 0.84). 64 is the measured crossover on
+        # this zstd config: the 128-partition cliff stays on the sort side,
+        # every partition count tested at or below 64 wins on bypass. On a
+        # real cluster wide shuffles exceed 200 partitions anyway, so large
+        # exchanges keep the sort writer's cluster behavior either way.
+        .config("spark.shuffle.sort.bypassMergeThreshold", "64")
         # Data-file codec stays Spark's snappy default — measured A/B at the
         # scaling-protocol shape (32M-event MoR replay, same quiet host,
         # back-to-back): snappy 129k/421k ev/s at 2/8 cores (raw N→4N 0.81)
