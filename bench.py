@@ -170,33 +170,54 @@ def _gate_check(
     c_lo: float, c_hi: float, c_lo2: float,
     cb_lo: float, cb_hi: float, cb_lo2: float,
     min_cache_ceil: float, min_bw_ceil: float,
-) -> tuple[list, float, float]:
+) -> tuple[list, list, float, float]:
     """Host-stationarity gates over one pair's six calibration numbers.
-    Returns (reasons-this-pair-is-invalid, unclamped cache ceiling, unclamped
-    bandwidth ceiling). Pure function of calibration (host) signals — never
-    of the engine's own result — shared by the measurement loop and by
-    ``_regate`` so stored pairs are re-judged identically at load time."""
+    Returns (fatal-reasons, deflating-only-reasons, unclamped cache ceiling,
+    unclamped bandwidth ceiling). Pure function of calibration (host)
+    signals — never of the engine's own result — shared by the measurement
+    loop and by ``_regate`` so stored pairs are re-judged identically.
+
+    Failures are classified by the DIRECTION the disturbance can push the
+    pair's raw efficiency (hi_tput / (4 × lo_tput)):
+
+    - LO-SIDE squeeze (lo floors, lo drift, cache ceiling > 1.15 — a lo
+      calibration window slower than the lo level itself) makes the lo level
+      slow and thereby INFLATES raw. Any such failure is FATAL: the number
+      could flatter the engine.
+    - HI-SIDE squeeze (ceilings below the minimum, hi absolute floors) makes
+      the hi level slow and can only DEFLATE raw — steal during the 8-core
+      window lowers the numerator. A pair whose only failures are hi-side is
+      kept as CONSERVATIVE evidence: its raw/normalized understate the
+      engine (the motivating observation: a pair measuring raw 0.848 was
+      discarded for a bandwidth ceiling of 0.789 that the engine itself
+      out-scaled — a disturbance that can only have cost the engine is not
+      grounds to discard the engine's number, only to trust it as a lower
+      bound). Such pairs carry their reasons in ``hi_side_disturbed`` so the
+      artifact says exactly which medians contain understated members."""
     c_lo_mean = (c_lo * c_lo2) ** 0.5
     ceil_u = c_hi / (4.0 * c_lo_mean)
     bw_ceil_u = cb_hi / (4.0 * (cb_lo * cb_lo2) ** 0.5)
     drift = c_lo2 / c_lo
     bw_drift = cb_lo2 / cb_lo
-    bad = []
-    if not (min_cache_ceil <= ceil_u <= 1.15):
-        bad.append(f"cache_ceiling {ceil_u:.3f} outside [{min_cache_ceil}, 1.15]")
-    if not (bw_ceil_u >= min_bw_ceil):
-        bad.append(f"bandwidth_ceiling {bw_ceil_u:.3f} < {min_bw_ceil}")
+    fatal, deflating = [], []
+    if ceil_u > 1.15:
+        fatal.append(f"cache_ceiling {ceil_u:.3f} > 1.15 (lo squeezed)")
+    elif ceil_u < min_cache_ceil:
+        deflating.append(f"cache_ceiling {ceil_u:.3f} < {min_cache_ceil}")
+    if bw_ceil_u < min_bw_ceil:
+        deflating.append(f"bandwidth_ceiling {bw_ceil_u:.3f} < {min_bw_ceil}")
     if not (0.8 <= drift <= 1.25):
-        bad.append(f"lo-calibration drift {drift:.3f} outside [0.8, 1.25]")
+        fatal.append(f"lo-calibration drift {drift:.3f} outside [0.8, 1.25]")
     if not (0.67 <= bw_drift <= 1.5):
-        bad.append(f"lo-bw-calibration drift {bw_drift:.3f} outside [0.67, 1.5]")
-    for name, val in (("c_lo", c_lo_mean), ("c_hi", c_hi),
-                      ("cb_lo", (cb_lo * cb_lo2) ** 0.5), ("cb_hi", cb_hi)):
+        fatal.append(f"lo-bw-calibration drift {bw_drift:.3f} outside [0.67, 1.5]")
+    for name, val, side in (("c_lo", c_lo_mean, fatal), ("c_hi", c_hi, deflating),
+                            ("cb_lo", (cb_lo * cb_lo2) ** 0.5, fatal),
+                            ("cb_hi", cb_hi, deflating)):
         floor = _abs_floor(name)
         if val < floor:
-            bad.append(f"absolute {name} calibration {val:.2f} < {floor} tasks/s "
-                       f"(host slower than its own idle speed — co-tenant steal)")
-    return bad, ceil_u, bw_ceil_u
+            side.append(f"absolute {name} calibration {val:.2f} < {floor} tasks/s "
+                        f"(host slower than its own idle speed — co-tenant steal)")
+    return fatal, deflating, ceil_u, bw_ceil_u
 
 
 def _regate(pair: dict, n_lo: int, min_cache_ceil: float, min_bw_ceil: float) -> dict:
@@ -215,10 +236,11 @@ def _regate(pair: dict, n_lo: int, min_cache_ceil: float, min_bw_ceil: float) ->
         return pair
     if not all(isinstance(v, (int, float)) and v > 0 for v in nums):
         return pair
-    bad, _, _ = _gate_check(*nums, min_cache_ceil, min_bw_ceil)
+    fatal, deflating, _, _ = _gate_check(*nums, min_cache_ceil, min_bw_ceil)
     out = dict(pair)
-    out["valid"] = not bad
-    out["invalid_reasons"] = bad or None
+    out["valid"] = not fatal
+    out["invalid_reasons"] = fatal or None
+    out["hi_side_disturbed"] = deflating or None
     return out
 
 
@@ -1004,9 +1026,13 @@ def main() -> None:
             c_hi = calibrate(n_lo * 4)
             cb_hi = calibrate_bw(n_lo * 4)
             _observe_cal(c_lo=c_lo, c_hi=c_hi, cb_lo=cb_lo, cb_hi=cb_hi)
-            pre_bad, pre_ceil, pre_bw = _gate_check(
+            # pre-gate still skips on EITHER class: a deflating window wastes
+            # engine minutes on a number we already know is understated —
+            # better to wait for a clean window when budget allows
+            pre_fatal, pre_defl, pre_ceil, pre_bw = _gate_check(
                 c_lo, c_hi, c_lo, cb_lo, cb_hi, cb_lo, min_cache_ceil, min_bw_ceil
             )
+            pre_bad = pre_fatal + pre_defl
             must_run = not pairs and not prior_pairs and skips >= max_skips - 2
             if pre_bad and not must_run:
                 skips += 1
@@ -1050,9 +1076,10 @@ def main() -> None:
         raw = p_hi["events_per_sec"] / (4.0 * p_lo["events_per_sec"])
         # gate inputs: hi calibrations from before the levels, lo calibrations
         # bracketing them (the geometric lo mean halves calibration noise)
-        bad, ceil_u, bw_ceil_u = _gate_check(
+        fatal, deflating, ceil_u, bw_ceil_u = _gate_check(
             c_lo, c_hi, c_lo2, cb_lo, cb_hi, cb_lo2, min_cache_ceil, min_bw_ceil
         )
+        bad = fatal
         ceil = min(max(ceil_u, 0.5), 1.0)
         ceil_bw = min(max(bw_ceil_u, 0.25), 1.0)
         pairs.append({
@@ -1061,6 +1088,7 @@ def main() -> None:
             "normalized": round(min(raw / ceil, 1.0), 3),
             "valid": not bad,
             "invalid_reasons": bad or None,
+            "hi_side_disturbed": deflating or None,
             "calibration_tasks_per_sec": {
                 f"{n_lo}_cores": c_lo, f"{n_lo * 4}_cores": c_hi,
                 f"{n_lo}_cores_after": c_lo2,
