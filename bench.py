@@ -139,16 +139,31 @@ _ABS_FLOORS = {
 }
 _REL_FLOOR = float(os.environ.get("SPARK_GRAFT_REL_FLOOR", "0.85"))
 
-# fastest observation of each probe seen anywhere in the record (pool pairs +
+# top observations of each probe seen anywhere in the record (pool pairs +
 # every calibration this session, skipped windows included — a fast window
-# that failed a ratio gate still evidences what the host can do)
-_OBS_MAX: dict = {"c_lo": 0.0, "c_hi": 0.0, "cb_lo": 0.0, "cb_hi": 0.0}
+# that failed a ratio gate still evidences what the host can do). The ANCHOR
+# each relative floor hangs from is the SECOND-fastest observation, not the
+# single maximum: one anomalous turbo/glitch sample would otherwise
+# permanently and retroactively demote (fatal) every pooled pair measured
+# >15% below it — a robust anchor requires the "attainable host speed" to
+# have been observed at least twice.
+_OBS_TOP: dict = {"c_lo": [], "c_hi": [], "cb_lo": [], "cb_hi": []}
 
 
 def _observe_cal(c_lo=None, c_hi=None, cb_lo=None, cb_hi=None) -> None:
     for k, v in (("c_lo", c_lo), ("c_hi", c_hi), ("cb_lo", cb_lo), ("cb_hi", cb_hi)):
-        if isinstance(v, (int, float)) and v > _OBS_MAX[k]:
-            _OBS_MAX[k] = float(v)
+        if isinstance(v, (int, float)) and v > 0:
+            top = _OBS_TOP[k]
+            top.append(float(v))
+            top.sort(reverse=True)
+            del top[3:]
+
+
+def _obs_anchor(name: str) -> float:
+    """Robust pool anchor: second-fastest observation (fastest when only one
+    exists, 0 when none)."""
+    top = _OBS_TOP[name]
+    return top[1] if len(top) > 1 else (top[0] if top else 0.0)
 
 
 def _observe_pair_cal(pair: dict, n_lo: int) -> None:
@@ -163,7 +178,26 @@ def _observe_pair_cal(pair: dict, n_lo: int) -> None:
 def _abs_floor(name: str) -> float:
     env, default = _ABS_FLOORS[name]
     static = float(os.environ.get(env, str(default)))
-    return max(static, _REL_FLOOR * _OBS_MAX[name])
+    return max(static, _REL_FLOOR * _obs_anchor(name))
+
+
+def _effective_ceiling(c_lo: float, c_hi: float, c_lo2: float, hi_disturbed) -> float:
+    """Normalization denominator for one pair (clamped to [0.5, 1.0]).
+
+    For a host-stationary pair this is the pair's own measured ceiling:
+    c_hi / (4 × geomean(lo calibrations)). For a HI-SIDE-DISTURBED pair the
+    pair's own c_hi was measured under co-tenant steal, so dividing raw by a
+    ceiling built from it INFLATES normalized — the disturbance deflates the
+    denominator, not just the numerator (the round-3 artifact's best pair hit
+    normalized 1.0 exactly this way). Such pairs instead take the hi
+    calibration from the pool's robust anchor — the host speed undisturbed
+    windows actually demonstrated — which can only raise the ceiling and
+    lower normalized: their normalized stays a LOWER bound, consistent with
+    keeping them as conservative evidence."""
+    c_lo_mean = (c_lo * c_lo2) ** 0.5
+    c_hi_eff = max(c_hi, _obs_anchor("c_hi")) if hi_disturbed else c_hi
+    ceil_u = c_hi_eff / (4.0 * c_lo_mean)
+    return min(max(ceil_u, 0.5), 1.0)
 
 
 def _gate_check(
@@ -241,6 +275,14 @@ def _regate(pair: dict, n_lo: int, min_cache_ceil: float, min_bw_ceil: float) ->
     out["valid"] = not fatal
     out["invalid_reasons"] = fatal or None
     out["hi_side_disturbed"] = deflating or None
+    # normalized is re-derived too: a hi-side-disturbed pair's ceiling must
+    # come from the pool's undisturbed anchor, and the anchor may have moved
+    # since the pair was stored (see _effective_ceiling)
+    if isinstance(out.get("raw"), (int, float)):
+        c_lo, c_hi, c_lo2 = nums[0], nums[1], nums[2]
+        ceil = _effective_ceiling(c_lo, c_hi, c_lo2, deflating)
+        out["ceiling"] = round(ceil, 3)
+        out["normalized"] = round(min(out["raw"] / ceil, 1.0), 3)
     return out
 
 
@@ -728,9 +770,12 @@ HEADLINE = [
     "ann_ivf_topk",
     # round-3: native session windows (streaming-capable twin of user_sessions)
     "session_window_agg",
-    # round-3: row-level changelog over the replayed lake table (the table
-    # build is cached per sf_dir in plans/cdc_queries, so the untimed pass
-    # pays the replay once and the timed passes measure the diff itself)
+    # round-3/4: the CDC driver queries. cdc_replayed_state runs FIRST so the
+    # session-cached two-epoch replay + table build in plans/cdc_queries
+    # (_replayed) is paid under ITS untimed pass — its own timed number is the
+    # state read-back, and cdc_snapshot_diff's number is then the diff plan
+    # alone (round-3 finding: 9.33 s of "diff" was ~85% fixture attribution)
+    "cdc_replayed_state",
     "cdc_snapshot_diff",
 ]
 
@@ -989,7 +1034,6 @@ def main() -> None:
         scale_events //= 2
         prior_pairs = _prior_pool(scale_events)
         _log(f"scaling: degrading pair protocol to {scale_events} events (budget)")
-    prior_valid = sum(1 for p in prior_pairs if p.get("valid"))
 
     pairs: list[dict] = _PARTIAL["fresh_pairs"]  # shared so a signal flush sees them
     feed_dir = None
@@ -998,8 +1042,18 @@ def main() -> None:
     tries = 0
     skips = 0
     while tries < max(max_tries, reps, 1) and skips < max_skips:
-        n_valid = prior_valid + sum(1 for p in pairs if p["valid"])
-        if pairs and n_valid >= max(reps, 1):
+        # the gather target counts CLEAN pairs (valid AND not measured under
+        # hi-side steal): disturbed pairs are kept as conservative evidence
+        # but each understates the engine, so a pool that is mostly disturbed
+        # medians below what the engine measures on a quiet host — the
+        # round-3 failure mode (median 0.739 with 3/6 disturbed while quiet
+        # windows measured raw 0.84-0.98). Bounded by max_tries / max_skips /
+        # budget as before.
+        n_clean = sum(
+            1 for p in pairs + prior_pairs
+            if p.get("valid") and not p.get("hi_side_disturbed")
+        )
+        if pairs and n_clean >= max(reps, 1):
             break
         need = pair_cost + (est_feedgen if feed_dir is None else 0)
         if budget.remaining() - reserve() < need:
@@ -1080,7 +1134,7 @@ def main() -> None:
             c_lo, c_hi, c_lo2, cb_lo, cb_hi, cb_lo2, min_cache_ceil, min_bw_ceil
         )
         bad = fatal
-        ceil = min(max(ceil_u, 0.5), 1.0)
+        ceil = _effective_ceiling(c_lo, c_hi, c_lo2, deflating)
         ceil_bw = min(max(bw_ceil_u, 0.25), 1.0)
         pairs.append({
             "lo": p_lo, "hi": p_hi, "raw": round(raw, 3), "ceiling": round(ceil, 3),
@@ -1135,10 +1189,24 @@ def main() -> None:
         best = lo = hi = None
         raw_eff = ceiling = cal_lo = cal_hi = None
         efficiency = best_eff = raw_median = None
+    # clean pairs = valid AND not hi-side-disturbed: every disturbed member
+    # is an explicit lower bound (steal during its 8-core window), so the
+    # clean-only median is the pool's best unbiased estimate of the engine
+    # while the full-valid median retains the conservative members. Both are
+    # reported; neither discards evidence.
+    clean = [p for p in all_pairs if p["valid"] and not p.get("hi_side_disturbed")]
+    if clean:
+        clean_eff = sorted(p["normalized"] for p in clean)[len(clean) // 2]
+        clean_raw = sorted(p["raw"] for p in clean)[len(clean) // 2]
+    else:
+        clean_eff = clean_raw = None
     _COMPACT.update(
         {
             "scaling_efficiency_N_to_4N": efficiency,
             "scaling_raw_median": raw_median,
+            "scaling_efficiency_clean_median": clean_eff,
+            "scaling_raw_clean_median": clean_raw,
+            "scaling_clean_pairs": len(clean),
             "scaling_valid_pairs": sum(1 for p in all_pairs if p["valid"]),
             "scaling_fresh_pairs": len(pairs),
             "scaling_host_disturbed": host_disturbed,
@@ -1259,10 +1327,14 @@ def main() -> None:
         "efficiency_best_pair": best_eff,
         "efficiency_raw_median": raw_median,
         "efficiency_raw_best": round(raw_eff, 3) if raw_eff is not None else None,
+        # clean = valid AND not hi_side_disturbed (see median derivation)
+        "efficiency_clean_median": clean_eff,
+        "efficiency_raw_clean_median": clean_raw,
+        "clean_pairs": len(clean),
         "valid_pairs": sum(1 for p in all_pairs if p["valid"]),
         "fresh_pairs_this_run": len(pairs),
         "host_disturbed": host_disturbed,
-        "calibration_observed_max": {k: round(v, 3) for k, v in _OBS_MAX.items()},
+        "calibration_observed_top": {k: [round(x, 3) for x in v] for k, v in _OBS_TOP.items()},
         "calibration_floors": {k: round(_abs_floor(k), 3) for k in _ABS_FLOORS},
         "all_pairs": all_pairs,
     }
@@ -1306,6 +1378,7 @@ def main() -> None:
         all_pairs=all_pairs, max_tries=max_tries, n_events=scale_events,
         epochs=scale_epochs, sf=sf, cpus=cpus, fingerprint=fingerprint,
         min_cache_ceil=min_cache_ceil, min_bw_ceil=min_bw_ceil,
+        clean_eff=clean_eff, clean_raw=clean_raw, n_clean=len(clean),
     )
 
     # Full detail → BENCH.json (the driver's round artifact can pick the file
@@ -1325,7 +1398,12 @@ def _write_bench_md(
     raw_median, raw_eff, ceiling, cal_lo, cal_hi, best, scored, all_pairs,
     max_tries, n_events, epochs, sf, cpus, fingerprint,
     min_cache_ceil=0.7, min_bw_ceil=0.8,
+    clean_eff=None, clean_raw=None, n_clean=0,
 ) -> None:
+    from openmrs_module_epts_etl_spark.session import TUNED_TRANSPORT
+
+    shuffle_codec = TUNED_TRANSPORT["spark.io.compression.codec"]
+    bypass_thr = TUNED_TRANSPORT["spark.shuffle.sort.bypassMergeThreshold"]
     if best is None or head is None:
         return  # partial emergency run: keep the last full BENCH.md
     rows = [
@@ -1381,27 +1459,36 @@ ingest-optimized path a 10^10-event/day deployment would run, and its
 append-dominated epochs are also why it scales better — per-epoch work is one
 dedupe shuffle + one clustered write, no table-sized rewrite.
 
-Shuffle transport: the session defaults are **zstd** shuffle/spill
-compression and the **sort-based shuffle writer at every partition count**
-(`spark.shuffle.sort.bypassMergeThreshold=1`, session.py). The ingest path is
-memory-bandwidth-bound at high core counts — a perfectly parallel numpy
-streaming sum scales at only ~0.6 efficiency 2→8 cores on this host class
-because DRAM saturates before the cores do, and a real cluster node's shuffle
-crosses a NIC with far less bandwidth per core than local DRAM. zstd moves
-~2× fewer bytes through that bottleneck for CPU the bandwidth-starved levels
-have to spare: measured on the 32M-event MoR replay, 8-core throughput
-301k → 507k events/s versus lz4. The catch is the default *bypass* shuffle
-writer, which Spark picks below 200 reduce partitions: it keeps one open
-compressed stream per reduce partition per map task, so at local[32] zstd's
-per-stream contexts (128 × 32 concurrent) throttled the map stage to 333k
-ev/s. Forcing the sort-based writer (one compressed spill stream per task —
-also the writer any >200-partition cluster shuffle uses anyway) removes that
-cliff: 659k ev/s at local[32], vs 458k for the best lz4 configuration.
+Shuffle transport (values interpolated from the live session config,
+session.py TUNED_TRANSPORT): **{shuffle_codec}** shuffle/spill compression
+with a **{bypass_thr}-partition shuffle-writer crossover**
+(`spark.shuffle.sort.bypassMergeThreshold={bypass_thr}`): shuffles with
+≤{bypass_thr} reduce partitions use the bypass writer (streams straight to
+per-partition files, no in-memory row buffering — the payload-wide MoR
+compaction exchange spilled 2.9 GB/task under the sort writer at 8 cores),
+wider shuffles use the sort-based writer (one compressed spill stream per
+task; at 128+ partitions the bypass writer's per-stream zstd contexts ×
+concurrent tasks throttled the map stage to 333k ev/s vs 659k). The ingest
+path is memory-bandwidth-bound at high core counts — a perfectly parallel
+numpy streaming sum scales at only ~0.6 efficiency 2→8 cores on this host
+class because DRAM saturates before the cores do, and a real cluster node's
+shuffle crosses a NIC with far less bandwidth per core than local DRAM.
+zstd moves ~2× fewer bytes through that bottleneck for CPU the
+bandwidth-starved levels have to spare: measured on the 32M-event MoR
+replay, 8-core throughput 301k → 507k events/s versus lz4.
 
 **Scaling efficiency N→4N: {efficiency}** (target ≥ 0.8 per BASELINE.json) —
 {median_desc} (pairs from a prior run of byte-identical code —
 same fingerprint — carry `from_prior_run`) (best pair: {best_eff}; raw medians/best:
-{raw_median}/{round(raw_eff, 3)}), each pair platform-normalized: raw
+{raw_median}/{round(raw_eff, 3)}). **Clean-pairs-only median: {clean_eff}
+(raw {clean_raw}) over {n_clean} pair(s)** — "clean" = valid AND not
+hi-side-disturbed; disturbed pairs are kept in the full median as explicit
+lower bounds (co-tenant steal during their 8-core window can only have cost
+the engine), so the clean median is the pool's unbiased estimate and the full
+median its conservative floor. A hi-side-disturbed pair's NORMALIZED value
+divides by a ceiling taken from the pool's robust undisturbed anchor, not its
+own steal-deflated calibration — its normalized is therefore also a lower
+bound, never inflated by the disturbance. Each pair platform-normalized: raw
 wall-clock efficiency divided by this VM's own parallel-scaling ceiling
 ({round(ceiling, 3)} for the best pair), measured with a
 pinned, perfectly-parallel, shuffle-free python busy-loop run immediately
@@ -1438,9 +1525,11 @@ both probes at 70% of idle speed still shows clean hi/lo ratios, while the
 engine's 8-core level starves on the socket's reduced ABSOLUTE bandwidth), so
 each pair must also clear absolute calibration floors. "Idle speed" is not a
 constant of this VM (its effective clock drifts day to day), so the floors
-are RELATIVE: each probe must reach {_REL_FLOOR:.0%} of the fastest
-observation of that probe anywhere in the pool record — every calibration
-this session, skipped windows included, plus every stored pair's — with
+are RELATIVE: each probe must reach {_REL_FLOOR:.0%} of the SECOND-fastest
+observation of that probe anywhere in the pool record (a robust anchor — a
+single anomalous turbo/glitch sample cannot retroactively demote the whole
+pool; the record spans every calibration this session, skipped windows
+included, plus every stored pair's) — with
 loose static sanity bounds (~half the slowest historical quiet observation)
 underneath (this run: cache ≥ {_abs_floor("c_lo")}/{_abs_floor("c_hi")},
 bw ≥ {_abs_floor("cb_lo")}/{_abs_floor("cb_hi")} tasks/s at lo/hi cores;

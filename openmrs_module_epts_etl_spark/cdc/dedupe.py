@@ -131,6 +131,7 @@ def dedupe_latest_clustered(
     order_col: str = "lsn",
     cluster_col: str | None = None,
     num_partitions: int | None = None,
+    on_null: str = "error",
 ) -> DataFrame:
     """``dedupe_latest`` arranged around ONE payload exchange.
 
@@ -164,11 +165,50 @@ def dedupe_latest_clustered(
     pairs and Catalyst then requires clustering on THOSE, which a
     repartition on the raw column can never satisfy (every exchange comes
     back). The CDC feed contract already guarantees non-null (conv_id,
-    turn_idx, lsn); a row with a NULL key or order value is silently
-    dropped, so callers outside that contract want ``dedupe_latest``."""
+    turn_idx, lsn). The contract is ENFORCED, not assumed: under the default
+    ``on_null="error"`` a NULL key/order value raises at execution time
+    (``raise_error`` folded into the order column, so it rides the existing
+    scan — no extra job, no extra shuffle, and column pruning cannot drop it
+    because the order column feeds both the winner aggregation and the
+    join-back). A caller that has pre-filtered NULLs and wants them dropped
+    must say so explicitly with ``on_null="drop"``; callers with legitimate
+    NULL keys want ``dedupe_latest``."""
     key = key or TRANSCRIPT_KEY
     cluster_col = cluster_col or key[0]
     assert cluster_col in key, "cluster_col must be part of the key"
+    if on_null not in ("error", "drop"):
+        raise ValueError(f"on_null must be 'error' or 'drop', got {on_null!r}")
+    if on_null == "error":
+        any_null = None
+        for c in [*key, order_col]:
+            e = F.col(c).isNull()
+            any_null = e if any_null is None else any_null | e
+        msg = (
+            "dedupe_latest_clustered: NULL in key/order column "
+            f"({', '.join([*key, order_col])}) violates the non-null "
+            "feed contract; use dedupe_latest for NULL-keyed data "
+            "or pass on_null='drop' after pre-filtering"
+        )
+        # EVERY key/order column is guard-wrapped, not just the order column:
+        # the semi-join infers IsNotNull on its (plain-equality) join keys and
+        # pushes those filters BENEATH this projection, so a raw key column
+        # would let the inferred filter drop the NULL row before any guarded
+        # expression runs (observed in the physical plan). With each join key
+        # an alias of the CASE guard, the pushed-down filter itself must
+        # evaluate the guard — the raise fires on the first conjunct.
+        events = events.select(
+            *[
+                F.when(
+                    any_null,
+                    F.raise_error(F.lit(msg)).cast(events.schema[c].dataType),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in (*key, order_col)
+                else F.col(c)
+                for c in events.columns
+            ]
+        )
     cols = events.columns
 
     def _cluster(df: DataFrame) -> DataFrame:

@@ -401,9 +401,14 @@ def connected_components(
     rounds — near-dup clusters are dense (diameter 2-4), so 2-3 rounds in
     practice. Labels are always real node ids (min over a set of ids), which
     is what makes the compression join total. ``localCheckpoint`` truncates
-    the per-round lineage so the plan does not grow with iterations; the
-    convergence check is a count of changed labels (0 → done). Everything is
-    min-based, hence deterministic at any parallelism.
+    the per-round lineage so the plan does not grow with iterations.
+
+    Convergence check: the round carries each node's PREVIOUS label through
+    the jump join, so "any label changed?" is a filter-count over the
+    already-checkpointed round output — a narrow scan of in-memory blocks.
+    The earlier form re-joined the new labels against the old ones
+    (edges-sized shuffle + join job per round purely for the convergence
+    test); at scale that was one full extra job per round.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -426,23 +431,19 @@ def connected_components(
             .agg(F.min("c").alias("nc"))
             .select(F.col("src").alias("id"), "nc")
         )
-        lowered = comp.join(nbr, "id", "left").select(
-            "id", F.least("comp", F.coalesce("nc", "comp")).alias("comp")
+        lowered = comp.withColumnRenamed("comp", "prev").join(nbr, "id", "left").select(
+            "id", "prev", F.least("prev", F.coalesce("nc", "prev")).alias("comp")
         )
         jumped = (
             lowered.join(
                 lowered.select(F.col("id").alias("comp"), F.col("comp").alias("cc")),
                 "comp",
             )
-            .select("id", F.col("cc").alias("comp"))
+            .select("id", "prev", F.col("cc").alias("comp"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.join(comp.withColumnRenamed("comp", "prev"), "id")
-            .filter(F.col("comp") != F.col("prev"))
-            .count()
-        )
-        comp = jumped
+        changed = jumped.filter(F.col("comp") != F.col("prev")).count()
+        comp = jumped.select("id", "comp")
         if changed == 0:
             break
     edges.unpersist()

@@ -7,6 +7,18 @@ signatures, pandas-UDF LSH) ship without an oracle and get the driver's
 rows-only check.
 """
 
-from .registry import ORACLES, QUERIES, flagship
+from .registry import (
+    IN_REPO_ONLY_ORACLES,
+    IN_REPO_ONLY_QUERIES,
+    ORACLES,
+    QUERIES,
+    flagship,
+)
 
-__all__ = ["QUERIES", "ORACLES", "flagship"]
+__all__ = [
+    "QUERIES",
+    "ORACLES",
+    "IN_REPO_ONLY_QUERIES",
+    "IN_REPO_ONLY_ORACLES",
+    "flagship",
+]

@@ -32,6 +32,26 @@ for mod in (
     QUERIES.update(mod.QUERIES)
     ORACLES.update(mod.ORACLES)
 
+# The driver records a correctness row for at most 50 queries; with 56
+# registered, six redundant TPC-H shapes would silently fall off the end of
+# its artifact. Trim the DRIVER-facing registry to exactly 50 so every
+# registered query gets a driver row, and keep the trimmed six — classic
+# shapes whose operators (DISTINCT projection, anti/semi join, rollup,
+# OR-filter, count/min/max probe, gap buckets) are all exercised by other
+# registered queries — under IN_REPO_ONLY_*, which the in-repo DuckDB gate
+# (tests/test_queries_vs_duckdb.py) still checks on every pytest run.
+_IN_REPO_ONLY = (
+    "customers_with_orders",
+    "orphan_lineitems",
+    "nation_region_rollup",
+    "priority_or_bigticket_orders",
+    "orders_pk_probe",
+    "open_order_gap_buckets",
+)
+IN_REPO_ONLY_QUERIES = {k: QUERIES.pop(k) for k in _IN_REPO_ONLY}
+IN_REPO_ONLY_ORACLES = {k: ORACLES.pop(k) for k in _IN_REPO_ONLY if k in ORACLES}
+assert len(QUERIES) == 50, f"driver registry must hold exactly 50, got {len(QUERIES)}"
+
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The engine's signature move on the shared testdata: CDC-style per-key

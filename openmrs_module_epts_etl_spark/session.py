@@ -12,6 +12,17 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Single source of truth for the tuned static transport confs: get_spark
+# applies them, bench.py's BENCH.md template interpolates them, and
+# tests/test_bench_artifact.py asserts the committed BENCH.md prose matches —
+# so the artifact can never again contradict the code it fingerprints (the
+# round-3 BENCH.md described a bypassMergeThreshold=1 policy the session had
+# already moved off).
+TUNED_TRANSPORT = {
+    "spark.io.compression.codec": "zstd",
+    "spark.shuffle.sort.bypassMergeThreshold": "64",
+}
+
 
 def get_spark(
     app_name: str = "epts-etl-spark",
@@ -24,8 +35,12 @@ def get_spark(
     if master == "local[*]" and cpus:
         master = f"local[{cpus}]"
     # local[N] → N; a real cluster would use 2-3× total executor cores.
+    # local[N,maxFailures] is valid Spark syntax — only the first field is cores.
     inner = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
-    session_cores = (os.cpu_count() or 8) if inner in ("*", "") else int(inner)
+    try:
+        session_cores = int(inner.split(",")[0])
+    except ValueError:
+        session_cores = os.cpu_count() or 8
     if shuffle_partitions is None:
         shuffle_partitions = session_cores
 
@@ -69,10 +84,11 @@ def get_spark(
         # CPU the hot levels have to spare. Measured on the 32M-event MoR
         # replay: 8-core throughput 301k -> 507k events/s (+68%), 2-core
         # 126k -> 145k, N->4N raw scaling efficiency 0.60 -> 0.87.
-        .config("spark.io.compression.codec", "zstd")
-        # Always use the sort-based (Unsafe) shuffle writer. Below the default
-        # bypassMergeThreshold (200 reduce partitions) Spark picks the bypass
-        # writer, which keeps one OPEN COMPRESSED STREAM PER REDUCE PARTITION
+        .config("spark.io.compression.codec", TUNED_TRANSPORT["spark.io.compression.codec"])
+        # Shuffle-writer crossover policy: bypass writer for shuffles with
+        # ≤64 reduce partitions, sort-based (Unsafe) writer above that. At the
+        # default bypassMergeThreshold (200) Spark picks the bypass writer for
+        # most shuffles, which keeps one OPEN COMPRESSED STREAM PER REDUCE PARTITION
         # per map task — with zstd that is partitions × concurrent-tasks live
         # compression contexts (128 × 32 here), and their buffer memory +
         # context-switching throttles the whole map stage. The sort writer
@@ -97,7 +113,10 @@ def get_spark(
         # every partition count tested at or below 64 wins on bypass. On a
         # real cluster wide shuffles exceed 200 partitions anyway, so large
         # exchanges keep the sort writer's cluster behavior either way.
-        .config("spark.shuffle.sort.bypassMergeThreshold", "64")
+        .config(
+            "spark.shuffle.sort.bypassMergeThreshold",
+            TUNED_TRANSPORT["spark.shuffle.sort.bypassMergeThreshold"],
+        )
         # Data-file codec stays Spark's snappy default — measured A/B at the
         # scaling-protocol shape (32M-event MoR replay, same quiet host,
         # back-to-back): snappy 129k/421k ev/s at 2/8 cores (raw N→4N 0.81)

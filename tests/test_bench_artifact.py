@@ -1,0 +1,30 @@
+"""The committed BENCH.md may never contradict the session config it claims
+to describe (round-3 finding: the artifact said bypassMergeThreshold=1 while
+session.py set 64). The template now interpolates session.TUNED_TRANSPORT;
+this test greps the committed artifact for agreement so a config change that
+skips regenerating BENCH.md fails CI instead of shipping a lie."""
+
+from __future__ import annotations
+
+import os
+import re
+
+from openmrs_module_epts_etl_spark.session import TUNED_TRANSPORT
+
+BENCH_MD = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH.md")
+
+
+def test_bench_md_transport_prose_matches_session_config():
+    md = open(BENCH_MD).read()
+    thr = TUNED_TRANSPORT["spark.shuffle.sort.bypassMergeThreshold"]
+    codec = TUNED_TRANSPORT["spark.io.compression.codec"]
+    # every explicit bypassMergeThreshold value mentioned must be the live one
+    cited = re.findall(r"bypassMergeThreshold=(\d+)", md)
+    assert cited, "BENCH.md must state the shuffle-writer policy"
+    assert all(v == thr for v in cited), f"stale threshold in BENCH.md: {cited} != {thr}"
+    assert codec in md, f"BENCH.md must name the live shuffle codec {codec!r}"
+
+
+def test_bench_md_has_no_always_sort_writer_claim():
+    md = open(BENCH_MD).read()
+    assert "sort-based shuffle writer at every partition count" not in md

@@ -79,7 +79,9 @@ def test_clustered_dedupe_null_key_contract(spark):
     """Documented contract: plain-equality join-back (the price of exchange
     locality — eqNullSafe keys compile to coalesce/isnull expression pairs
     Catalyst can't satisfy from a raw-column repartition), so NULL key/order
-    rows are dropped. The generic dedupe_latest keeps them."""
+    rows are dropped — but only under the EXPLICIT on_null='drop' opt-out
+    (the default raises; see test_clustered_dedupe_null_key_raises_loudly).
+    The generic dedupe_latest keeps them."""
     rows = [
         ("a", 1, 10, "x"),
         ("a", 1, 11, "y"),      # winner for (a, 1)
@@ -89,7 +91,7 @@ def test_clustered_dedupe_null_key_contract(spark):
     df = spark.createDataFrame(rows, ["conv_id", "turn_idx", "lsn", "text"])
     out = dedupe_latest_clustered(
         df, key=["conv_id", "turn_idx"], order_col="lsn",
-        cluster_col="conv_id", num_partitions=8,
+        cluster_col="conv_id", num_partitions=8, on_null="drop",
     )
     got = {tuple(r) for r in out.select("conv_id", "turn_idx", "text").collect()}
     assert got == {("a", 1, "y")}
@@ -164,3 +166,49 @@ def test_compaction_write_is_exchange_free(spark, tmp_path, feed):
     assert 0 < len(t.files) <= pre_files
     buckets = {f.partition.get("conv_id_bucket") for f in t.files}
     assert buckets <= {str(i) for i in range(8)}
+
+
+def test_clustered_dedupe_null_key_raises_loudly(spark):
+    """The non-null feed contract is enforced, not assumed: a NULL in any
+    key/order column must RAISE at execution (on_null='error', the default)
+    instead of silently dropping the row through the plain-equality
+    join-back — the round-3 review asked for exactly this loud path."""
+    rows = [("a", 1, 10, "x"), (None, 2, 11, "y")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, lsn long, text string")
+    out = dedupe_latest_clustered(
+        df, key=["conv_id", "turn_idx"], order_col="lsn", num_partitions=4
+    )
+    with pytest.raises(Exception, match="non-null feed contract"):
+        out.collect()
+
+
+def test_clustered_dedupe_on_null_drop_is_explicit(spark):
+    """Explicit opt-out keeps the old silent-drop behavior for callers that
+    pre-filter; an invalid mode is rejected eagerly."""
+    rows = [("a", 1, 10, "x"), (None, 2, 11, "y"), ("a", 1, 12, "z")]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, lsn long, text string")
+    got = dedupe_latest_clustered(
+        df, key=["conv_id", "turn_idx"], order_col="lsn",
+        num_partitions=4, on_null="drop",
+    ).collect()
+    assert [(r.conv_id, r.lsn) for r in got] == [("a", 12)]
+    with pytest.raises(ValueError, match="on_null"):
+        dedupe_latest_clustered(df, key=["conv_id"], on_null="quarantine")
+
+
+def test_clustered_dedupe_guard_keeps_one_exchange(spark):
+    """The guard must ride the existing scan: the on_null='error' expression
+    may not add an exchange to the engineered one-exchange plan."""
+    df = spark.range(0, 1000).select(
+        F.concat(F.lit("c"), (F.col("id") % 50).cast("string")).alias("conv_id"),
+        (F.col("id") % 7).cast("int").alias("turn_idx"),
+        F.col("id").alias("lsn"),
+        F.lit("payload").alias("text"),
+    )
+    plan = dedupe_latest_clustered(
+        df, key=["conv_id", "turn_idx"], order_col="lsn",
+        cluster_col="conv_id", num_partitions=8,
+    )._jdf.queryExecution().executedPlan().toString()
+    # two exchanges total: the payload clustering + the narrow (key, order)
+    # projection — identical to the unguarded plan shape
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -20,8 +20,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entrymod  # noqa: E402
 
-QUERIES = entrymod.queries()
-ORACLES = entrymod.oracle_sql()
+# the driver sees exactly the 50 registered queries; the in-repo gate also
+# checks the six redundant TPC-H shapes trimmed from the driver registry
+from openmrs_module_epts_etl_spark.plans import (  # noqa: E402
+    IN_REPO_ONLY_ORACLES,
+    IN_REPO_ONLY_QUERIES,
+)
+
+QUERIES = {**entrymod.queries(), **IN_REPO_ONLY_QUERIES}
+ORACLES = {**entrymod.oracle_sql(), **IN_REPO_ONLY_ORACLES}
+
+
+def test_driver_registry_is_exactly_50():
+    assert len(entrymod.queries()) == 50
 
 
 @pytest.fixture(scope="module")

@@ -451,3 +451,79 @@ def test_stateful_timeout_branch_evicts_silently():
     out = list(_update_conversation(("c1",), iter(()), st, ttl_ms=1000))
     assert out == []
     assert st.removed
+
+
+def test_streaming_session_windows_equal_batch(spark, tmp_path):
+    """The r3 session-window operator's streaming claim, driven end-to-end on
+    REAL data: the SAME ``session_window_stats`` call runs (a) as a batch
+    aggregation over the sf0.001 events table and (b) as a watermarked
+    streaming aggregation over the same rows delivered as time-ordered
+    micro-batch files under availableNow — and the emitted session sets must
+    be EQUAL. A far-future sentinel file pushes the final watermark past
+    every real event so append mode flushes all session state; the sentinel
+    user's own (still-open) session is the only row allowed to differ."""
+    import datetime as dt
+
+    from openmrs_module_epts_etl_spark.operators.windows import session_window_stats
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        # the parquet reads as TIMESTAMP_NTZ, which withWatermark rejects;
+        # the UTC session makes the cast value-preserving
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    )
+    batch = session_window_stats(ev, ["user_id"], "ts", gap="30 minutes").toPandas()
+
+    # deliver the identical rows as 3 time-ordered files + a sentinel: each
+    # file holds a contiguous ts range, so the watermark only ever advances
+    # past rows already delivered (no late drops to confound the equality)
+    # tercile cut points: tiny test table (sf0.001 = 1000 rows), so collect
+    # the sorted distinct timestamps and index — type-safe for TIMESTAMP_NTZ,
+    # which approxQuantile/double casts reject
+    all_ts = sorted(r[0] for r in ev.select("ts").distinct().collect())
+    q1 = all_ts[len(all_ts) // 3]
+    q2 = all_ts[2 * len(all_ts) // 3]
+    parts = [
+        ev.where(F.col("ts") <= F.lit(q1)),
+        ev.where((F.col("ts") > F.lit(q1)) & (F.col("ts") <= F.lit(q2))),
+        ev.where(F.col("ts") > F.lit(q2)),
+    ]
+    sentinel_ts = ev.agg(F.max("ts")).first()[0] + dt.timedelta(days=365)
+    parts.append(
+        spark.createDataFrame([(-1, sentinel_ts)], schema=ev.schema)
+    )
+    feed = str(tmp_path / "sessfeed2")
+    os.makedirs(feed)
+    for i, p in enumerate(parts):
+        stage = str(tmp_path / f"sw_stage{i}")
+        p.coalesce(1).write.parquet(stage)
+        shutil.copy(
+            glob.glob(os.path.join(stage, "*.parquet"))[0],
+            os.path.join(feed, f"f{i:04d}.parquet"),
+        )
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        session_window_stats(stream, ["user_id"], "ts", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_eq_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sw_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table("sess_eq_stream").toPandas()
+    got = got[got.user_id != -1]
+
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    got_set = set(map(tuple, got[key].itertuples(index=False)))
+    want_set = set(map(tuple, batch[key].itertuples(index=False)))
+    assert got_set == want_set
+    assert len(got) == len(batch)  # no duplicate emissions either
