@@ -102,6 +102,7 @@ def _protocol_fingerprint() -> str:
         inspect.getsource(stream_child),
         inspect.getsource(_mk_spark),
         inspect.getsource(_mk_spark_scaled),
+        inspect.getsource(_mk_spark_stream),
         inspect.getsource(bench_queries),
         _CAL,
         _CAL_BW,
@@ -429,6 +430,19 @@ def _mk_spark_scaled(cores: int, app: str, local_dir: str | None = None):
     )
 
 
+def _mk_spark_stream(cores: int, app: str, local_dir: str | None = None):
+    """Streaming-profile session (session.py STREAMING_TRANSPORT): the stock
+    200-partition writer crossover, measured +15% on the micro-batch path —
+    the session shape a streaming deployment's spark-submit would build."""
+    from openmrs_module_epts_etl_spark.session import get_spark
+
+    extra = {"spark.local.dir": local_dir} if local_dir else None
+    return get_spark(
+        app, master=f"local[{cores}]", shuffle_partitions=64, extra_conf=extra,
+        profile="streaming",
+    )
+
+
 def _feed_spec(n_events: int):
     from openmrs_module_epts_etl_spark.cdc import FeedSpec
 
@@ -580,7 +594,7 @@ def stream_child(cores: int, n_events: int, work: str) -> None:
     from openmrs_module_epts_etl_spark.streaming import StreamingCdcRunner
 
     sys.path.insert(0, REPO)
-    spark = _mk_spark(cores, f"stream-bench-{cores}", local_dir=os.path.join(work, "local"))
+    spark = _mk_spark_stream(cores, f"stream-bench-{cores}", local_dir=os.path.join(work, "local"))
     try:
         def run(n, files, tag):
             fd = os.path.join(work, f"feed-{tag}")
@@ -1274,20 +1288,42 @@ def main() -> None:
         _log("skipping streaming section (budget)")
         stream_events = 0
     if stream_events:
-        swork = tempfile.mkdtemp(prefix="stream-bench-", dir="/dev/shm")
-        try:
-            out = _run_tracked(
-                [sys.executable, os.path.join(REPO, "bench.py"), "--stream-child",
-                 str(cpus), str(stream_events), swork],
-                timeout=3600,
-            )
-            lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
-            if lines:
-                stream = json.loads(lines[-1])
-            else:
-                _log(f"stream child failed (rc={out.returncode}): {out.stderr[-500:]}")
-        finally:
-            shutil.rmtree(swork, ignore_errors=True)
+        # median of N reps, same honesty rule as head/soak/scaling: the r3
+        # artifact's single streaming sample (196k ev/s) sat 37% under r2's
+        # single sample, and a quiet-host A/B (tools/stream_ab.py) later
+        # measured the identical topology at 287k — one draw from a shared
+        # host is NOT a measurement
+        stream_reps = int(os.environ.get("SPARK_GRAFT_STREAM_REPS", "3"))
+        est_stream_rep = stream_events / 200_000 + 100
+        stream_reps = min(
+            stream_reps, int(max((budget.remaining() - 60) // est_stream_rep, 1))
+        )
+        stream_runs = []
+        for _ in range(stream_reps):
+            swork = tempfile.mkdtemp(prefix="stream-bench-", dir="/dev/shm")
+            try:
+                out = _run_tracked(
+                    [sys.executable, os.path.join(REPO, "bench.py"), "--stream-child",
+                     str(cpus), str(stream_events), swork],
+                    timeout=3600,
+                )
+                lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+                if lines:
+                    stream_runs.append(json.loads(lines[-1]))
+                else:
+                    _log(f"stream child failed (rc={out.returncode}): {out.stderr[-500:]}")
+            except subprocess.TimeoutExpired:
+                _log("stream child timed out")
+            finally:
+                shutil.rmtree(swork, ignore_errors=True)
+            if budget.remaining() < est_stream_rep + 60:
+                break
+        if stream_runs:
+            stream_runs.sort(key=lambda s: s["events_per_sec"])
+            stream = stream_runs[len(stream_runs) // 2]
+            stream["all_reps_events_per_sec"] = [
+                s["events_per_sec"] for s in stream_runs
+            ]
 
     soak = None
     soak_reps = int(os.environ.get("SPARK_GRAFT_SOAK_REPS", "3"))

@@ -50,6 +50,7 @@ class StreamingCdcRunner:
         compact_every: int | None = 8,
         policy=None,
         suppress_redelivery: str | None = None,
+        transport_profile: bool = True,
     ):
         self.spark = spark
         self.feed_dir = feed_dir
@@ -97,6 +98,33 @@ class StreamingCdcRunner:
         # always correct, just costlier per redelivery.
         self.suppress_redelivery = suppress_redelivery
         self.batch_results: list = []
+        # Streaming transport check: the session should be built with
+        # ``get_spark(profile="streaming")`` — micro-batch shuffles move ~1M
+        # rows for tens of ms, where the batch profile's sort-writer
+        # crossover (64, tuned for 32M-row payload exchanges) costs a
+        # measured 15% of sustained throughput (3/3 alternating A/B reps,
+        # tools/stream_ab.py: 295k → 341k ev/s median at 4M events).
+        # bypassMergeThreshold is a LAUNCH-TIME core conf (Spark raises
+        # CANNOT_MODIFY_CONFIG on a live session), so the runner can only
+        # surface the mismatch, not fix it: transport_profile=True (default)
+        # records a warning into ``transport_warnings`` when the session
+        # carries the batch crossover; False silences the check for callers
+        # deliberately sharing a batch-tuned session.
+        self.transport_warnings: list[str] = []
+        if transport_profile:
+            try:
+                thr = spark.conf.get("spark.shuffle.sort.bypassMergeThreshold")
+            except Exception:
+                thr = None
+            from ..session import STREAMING_TRANSPORT
+
+            want = STREAMING_TRANSPORT["spark.shuffle.sort.bypassMergeThreshold"]
+            if thr is not None and thr != want:
+                self.transport_warnings.append(
+                    f"session bypassMergeThreshold={thr} (batch profile); "
+                    f"build streaming sessions with get_spark(profile='streaming') "
+                    f"for the measured +15% micro-batch throughput (want {want})"
+                )
 
     def _reader(self) -> DataFrame:
         reader = (

@@ -527,3 +527,36 @@ def test_streaming_session_windows_equal_batch(spark, tmp_path):
     want_set = set(map(tuple, batch[key].itertuples(index=False)))
     assert got_set == want_set
     assert len(got) == len(batch)  # no duplicate emissions either
+
+
+def test_streaming_transport_profile(spark, tmp_path, feed_dir):
+    """Streaming sessions are built with get_spark(profile="streaming"),
+    which applies the stock 200-partition shuffle-writer crossover (the
+    batch default of 64 is tuned for 32M-row exchanges and costs the
+    micro-batch path a measured 15%). bypassMergeThreshold is a launch-time
+    core conf, so the runner can only DETECT a batch-tuned session — it
+    records a transport warning by default and stays silent when the caller
+    opts out."""
+    from openmrs_module_epts_etl_spark.session import (
+        STREAMING_TRANSPORT,
+        TUNED_TRANSPORT,
+    )
+
+    # profile tables: streaming overrides exactly the writer crossover
+    assert STREAMING_TRANSPORT["spark.shuffle.sort.bypassMergeThreshold"] == "200"
+    assert TUNED_TRANSPORT["spark.shuffle.sort.bypassMergeThreshold"] == "64"
+    with pytest.raises(ValueError, match="profile"):
+        from openmrs_module_epts_etl_spark.session import get_spark
+
+        get_spark("bad-profile", profile="interactive")
+
+    # the shared test session is batch-profile → the runner flags it...
+    r = _runner(spark, feed_dir, str(tmp_path / "tp_t"), str(tmp_path / "tp_ck"))
+    assert r.transport_warnings and "profile='streaming'" in r.transport_warnings[0]
+    # ...unless the caller deliberately shares a batch-tuned session
+    schema = spark.read.parquet(feed_dir).schema
+    r2 = StreamingCdcRunner(
+        spark, feed_dir, schema, str(tmp_path / "tp_t2"),
+        str(tmp_path / "tp_ck2"), transport_profile=False,
+    )
+    assert r2.transport_warnings == []

@@ -24,11 +24,26 @@ sys.path.insert(0, REPO)
 
 VARIANTS = {
     "base": {},
-    "no_minpart": {"spark.sql.files.minPartitionNum": "0"},
+    # 32 = the Spark default floor (defaultParallelism at local[32]) — i.e.
+    # the pre-r3 behavior, vs the session's 4×cores=128. A literal "0" is
+    # rejected/pathological (observed: a stage wedged minutes at 63/64).
+    "no_minpart": {"spark.sql.files.minPartitionNum": "32"},
     "lz4": {"spark.io.compression.codec": "lz4"},
     "bypass200": {"spark.shuffle.sort.bypassMergeThreshold": "200"},
     "no_minpart_lz4": {
-        "spark.sql.files.minPartitionNum": "0",
+        "spark.sql.files.minPartitionNum": "32",
+        "spark.io.compression.codec": "lz4",
+    },
+    # candidate streaming profile: micro-batch shuffles are small and ≤~200
+    # partitions, so the bypass writer always wins; micro-batch scans are
+    # small files, so the 4×cores scan floor is pure task overhead
+    "stream_profile": {
+        "spark.shuffle.sort.bypassMergeThreshold": "200",
+        "spark.sql.files.minPartitionNum": "32",
+    },
+    "stream_profile_lz4": {
+        "spark.shuffle.sort.bypassMergeThreshold": "200",
+        "spark.sql.files.minPartitionNum": "32",
         "spark.io.compression.codec": "lz4",
     },
 }
