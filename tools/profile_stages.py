@@ -7,7 +7,15 @@ REST API.  utilization = executorRunTime / (cores x stage wall): a stage at
 exactly the serial component the scaling pairs see.
 
 Run:  python tools/profile_stages.py <cores>
-Env:  PROF_EVENTS (default 8_000_000), PROF_EPOCHS (default 2)
+Env:  PROF_EVENTS (default 8_000_000), PROF_EPOCHS (default 2),
+      PROF_FEED (optional path to a pre-generated parquet feed, the bench
+      scaling-pair shape: range-clustered by delivery_seq; without it the
+      feed is generated in-process and persisted — NOTE the two shapes
+      measure differently: the persisted 32M feed is ~5 GB of cached rows
+      re-scanned per epoch, the parquet feed is ~1 GB pruned row groups),
+      PROF_SPEC (bucket | mbucket, default bucket: mbucket reproduces the
+      bench table spec, which activates the clustered one-exchange dedupe
+      in compaction; bucket exercises the generic narrow-agg path)
 """
 
 from __future__ import annotations
@@ -37,7 +45,7 @@ def main(cores: int) -> None:
         transcript_schema,
     )
     from openmrs_module_epts_etl_spark.cdc.generator import FeedSpec
-    from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days
+    from openmrs_module_epts_etl_spark.lake import LakeTable, bucket, days, mbucket
     from openmrs_module_epts_etl_spark.session import get_spark
 
     work = tempfile.mkdtemp(prefix=f"profs-{cores}-", dir="/dev/shm")
@@ -55,13 +63,18 @@ def main(cores: int) -> None:
         out_of_order_window=50_000, hot_key_fraction=0.3, n_hot_convs=3,
         schema_evolution_lsn=N_EVENTS // 2, text_pad_chars=160,
     )
+    feed_path = os.environ.get("PROF_FEED")
     try:
-        feed = generate_feed(spark, spec, 64).persist()
-        feed.count()
+        if feed_path:
+            feed = spark.read.parquet(feed_path)
+        else:
+            feed = generate_feed(spark, spec, 64).persist()
+            feed.count()
         # warmup
         wd = os.path.join(work, "warm")
         tp = os.path.join(wd, "t")
-        LakeTable.create(spark, tp, transcript_schema(), [days("ts"), bucket(16, "conv_id")])
+        bfn = mbucket if os.environ.get("PROF_SPEC") == "mbucket" else bucket
+        LakeTable.create(spark, tp, transcript_schema(), [days("ts"), bfn(16, "conv_id")])
         CdcPipeline(spark, PipelineConfig(
             table_path=tp, checkpoint_dir=os.path.join(wd, "ck"),
             batch_size=N_EVENTS, mode="mor", compact_every=4)).run(feed.limit(200_000))
@@ -73,7 +86,7 @@ def main(cores: int) -> None:
 
         wd = os.path.join(work, "timed")
         tp = os.path.join(wd, "t")
-        LakeTable.create(spark, tp, transcript_schema(), [days("ts"), bucket(16, "conv_id")])
+        LakeTable.create(spark, tp, transcript_schema(), [days("ts"), bfn(16, "conv_id")])
         pipe = CdcPipeline(spark, PipelineConfig(
             table_path=tp, checkpoint_dir=os.path.join(wd, "ck"),
             batch_size=N_EVENTS // EPOCHS, mode="mor", compact_every=4))
