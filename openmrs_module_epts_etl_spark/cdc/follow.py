@@ -86,6 +86,18 @@ class TableFollower:
             json.dump({"last_version": version}, fh)
         os.rename(tmp, p)
 
+    def seed_checkpoint(self, version: int) -> None:
+        """Declare ``version`` already propagated — the bootstrap contract
+        for attaching a follower to a destination that was seeded out of
+        band (a bulk snapshot load, a restored backup): the first
+        ``poll_once`` then diffs ``version → head`` instead of replaying
+        from the beginning of retained history. The caller asserts the
+        destination's state matches the upstream at ``version``; the
+        lsn-guarded downstream merge makes an over-seeded checkpoint safe
+        (a replayed overlap applies as a no-op) but an under-seeded one
+        silently skips the gap."""
+        self._save(version)
+
     # ---------------------------------------------------------------- poll
     def poll_once(self) -> MergeResult | None:
         """Propagate everything committed upstream since the last poll.

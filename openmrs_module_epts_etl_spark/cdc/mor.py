@@ -61,17 +61,30 @@ def _clustered_plan(table: LakeTable, key: list[str]) -> tuple[str, int] | None:
 
 
 def _dedupe_for_table(
-    table: LakeTable, df: DataFrame, key: list[str], order_col: str
+    table: LakeTable, df: DataFrame, key: list[str], order_col: str,
+    on_null: str = "error",
 ) -> tuple[DataFrame, bool]:
     """Winner selection shaped to the table's layout: clustered one-exchange
     plan when the spec allows (second return True → write with
-    ``arrange=False``), the generic narrow-agg + join-back otherwise."""
+    ``arrange=False``), the generic narrow-agg + join-back otherwise.
+
+    ``on_null`` is the clustered path's NULL-key policy, plumbed through
+    every public entry point that can reach this (``append_delta``,
+    ``compact_partitions``, ``compact_latest``, ``PipelineConfig``): the
+    default ``"error"`` enforces the non-null feed contract loudly, but the
+    default *append* path writes events raw (dedupe=False), so a NULL-keyed
+    row that slipped into an mbucket table would otherwise wedge every
+    future compaction with no recovery path short of manual table surgery —
+    ``on_null="drop"`` is that recovery path (the dropped row could never
+    win a read-time max-lsn contest usefully anyway: ``read_state``'s
+    generic dedupe groups it under the NULL key, which no real key matches).
+    The generic path keeps NULL-key groups (SQL semantics) either way."""
     plan = _clustered_plan(table, key)
     if plan:
         return (
             dedupe_latest_clustered(
                 df, key=key, order_col=order_col,
-                cluster_col=plan[0], num_partitions=plan[1],
+                cluster_col=plan[0], num_partitions=plan[1], on_null=on_null,
             ),
             True,
         )
@@ -85,6 +98,7 @@ def append_delta(
     fence_key: str | None = None,
     epoch_id: int | None = None,
     dedupe: bool = False,
+    on_null: str = "error",
 ) -> MergeResult:
     """Apply one epoch as an appended delta. Returns applied counts
     {delta_upsert, delta_delete} (exact split between insert/update is
@@ -107,7 +121,7 @@ def append_delta(
 
     clustered = False
     if dedupe:
-        batch, clustered = _dedupe_for_table(table, events, key, "lsn")
+        batch, clustered = _dedupe_for_table(table, events, key, "lsn", on_null=on_null)
     else:
         batch = events
     is_del = F.col("op") == "D"
@@ -190,6 +204,7 @@ def compact_partitions(
     fence_key: str | None = None,
     epoch_id: int | None = None,
     keep_tombstones: bool = True,
+    on_null: str = "error",
 ) -> Commit | None:
     """Partition-selective compaction: collapse versions only in partitions
     holding ≥ ``min_files`` data files — the bounded-I/O form a 100 TB MoR
@@ -220,7 +235,7 @@ def compact_partitions(
     if not selected:
         return None
     df = table.read(files=selected, include_hidden=True)
-    winners, clustered = _dedupe_for_table(table, df, key, "_lsn")
+    winners, clustered = _dedupe_for_table(table, df, key, "_lsn", on_null=on_null)
     if not keep_tombstones:
         winners = winners.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     epoch = {"fence_key": fence_key, "epoch_id": epoch_id} if fence_key is not None else None
@@ -248,6 +263,7 @@ def compact_latest(
     fence_key: str | None = None,
     epoch_id: int | None = None,
     keep_tombstones: bool = True,
+    on_null: str = "error",
 ) -> Commit | None:
     """Collapse every key to its winning version; rewrites the whole current
     file set (the MoR analog of the CoW epoch rewrite, paid once per K
@@ -263,7 +279,7 @@ def compact_latest(
     if not files:
         return None
     df = table.read(files=files, include_hidden=True)
-    winners, clustered = _dedupe_for_table(table, df, key, "_lsn")
+    winners, clustered = _dedupe_for_table(table, df, key, "_lsn", on_null=on_null)
     if not keep_tombstones:
         winners = winners.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
     epoch = {"fence_key": fence_key, "epoch_id": epoch_id} if fence_key is not None else None

@@ -66,6 +66,16 @@ class PipelineConfig:
     # (a typical binlog tailing window) the extra shuffle is pure overhead,
     # and the appended deltas then carry exact per-event lineage rows.
     mor_dedupe_appends: bool = False
+    # NULL-key policy for the clustered (mbucket-layout) dedupe the MoR path
+    # uses in deduped appends and compaction (cdc/dedupe.py contract):
+    # "error" (default) raises loudly on a NULL key/order value; "drop"
+    # discards such rows — the documented recovery path for a table a raw
+    # (dedupe=False) append already contaminated, which would otherwise
+    # wedge every future compaction. Prevention belongs upstream:
+    # quarantine_path diverts NULL-keyed events before they are ever
+    # appended. CoW / non-mbucket tables use the generic dedupe, which
+    # keeps NULL-key groups and ignores this setting.
+    on_null_keys: str = "error"
     # Conflict-resolution policy for matched rows (cdc/conflict.py —
     # ConflictResolutionType analog). Only the default newer-wins policy is
     # expressible in MoR mode: its read-time winner is max-lsn by construction.
@@ -151,6 +161,7 @@ class CdcPipeline:
                 res = append_delta(
                     table, batch, key=list(cfg.key), fence_key=cfg.fence_key,
                     epoch_id=epoch, dedupe=cfg.mor_dedupe_appends,
+                    on_null=cfg.on_null_keys,
                 )
                 if cfg.compact_every and (epoch + 1) % cfg.compact_every == 0:
                     if cfg.compact_min_files is not None:
@@ -160,6 +171,7 @@ class CdcPipeline:
                             min_files=cfg.compact_min_files,
                             fence_key=cfg.fence_key + "-compact",
                             epoch_id=epoch,
+                            on_null=cfg.on_null_keys,
                         )
                     else:
                         compact_latest(
@@ -167,6 +179,7 @@ class CdcPipeline:
                             key=list(cfg.key),
                             fence_key=cfg.fence_key + "-compact",
                             epoch_id=epoch,
+                            on_null=cfg.on_null_keys,
                         )
             else:
                 res = merge_into(

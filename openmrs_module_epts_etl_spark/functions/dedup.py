@@ -405,10 +405,21 @@ def connected_components(
 
     Convergence check: the round carries each node's PREVIOUS label through
     the jump join, so "any label changed?" is a filter-count over the
-    already-checkpointed round output — a narrow scan of in-memory blocks.
+    already-materialized round output — a narrow scan of in-memory blocks.
     The earlier form re-joined the new labels against the old ones
     (edges-sized shuffle + join job per round purely for the convergence
     test); at scale that was one full extra job per round.
+
+    Round materialization alternates ``persist`` / ``localCheckpoint``:
+    every round must materialize anyway (the convergence count), but
+    ``localCheckpoint`` is an EAGER separate job, so checkpointing every
+    round paid two jobs per round (checkpoint + count). Odd rounds persist
+    lazily instead — the convergence count is then the job that both
+    materializes the cache and counts — and even rounds still checkpoint,
+    truncating the logical plan every two jumps so lineage stays bounded
+    for deep label trees. Cached odd-round frames are released at exit
+    (correctness never depends on the cache: an unpersisted frame just
+    recomputes its — at most two-round — lineage).
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
@@ -422,7 +433,8 @@ def connected_components(
         .select(F.col("src").alias("id"), F.least("src", "m").alias("comp"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    cached: list[DataFrame] = []
+    for i in range(max_iter):
         nbr = (
             edges.join(
                 comp.select(F.col("id").alias("dst"), F.col("comp").alias("c")), "dst"
@@ -434,19 +446,28 @@ def connected_components(
         lowered = comp.withColumnRenamed("comp", "prev").join(nbr, "id", "left").select(
             "id", "prev", F.least("prev", F.coalesce("nc", "prev")).alias("comp")
         )
-        jumped = (
-            lowered.join(
-                lowered.select(F.col("id").alias("comp"), F.col("comp").alias("cc")),
-                "comp",
-            )
-            .select("id", "prev", F.col("cc").alias("comp"))
-            .localCheckpoint()
-        )
+        jumped = lowered.join(
+            lowered.select(F.col("id").alias("comp"), F.col("comp").alias("cc")),
+            "comp",
+        ).select("id", "prev", F.col("cc").alias("comp"))
+        if i % 2 == 0:
+            jumped = jumped.persist()
+            cached.append(jumped)
+        else:
+            jumped = jumped.localCheckpoint()
         changed = jumped.filter(F.col("comp") != F.col("prev")).count()
         comp = jumped.select("id", "comp")
         if changed == 0:
             break
     edges.unpersist()
+    if cached and i % 2 == 0:
+        # the final comp's blocks live in the last cached frame; hand the
+        # caller a checkpointed result first so the unpersist below cannot
+        # force a recompute of the returned labels (cheap: the checkpoint
+        # job reads the cached blocks)
+        comp = comp.localCheckpoint()
+    for df in cached:
+        df.unpersist()
     return comp
 
 

@@ -125,6 +125,57 @@ SELECT conv_id, turn_idx, role, text, tool, ts FROM s2
 )
 
 
+# (dst table) per sf_dir — the chained-propagation fixture below, built once
+# per session like _BUILT
+_FOLLOWED: dict[str, object] = {}
+
+
+def _followed(spark: SparkSession, sf: str):
+    """Chained propagation end-to-end: bootstrap a SECOND table to the first
+    epoch's state via ``changes_as_feed(0 → v1)`` + lsn-guarded MERGE, seed a
+    ``TableFollower`` checkpoint at v1, then ``poll_once`` propagates
+    ``v1 → head`` through the row-level changelog (insert / update / delete
+    re-emission) and the same lsn-guarded MERGE — the reference's
+    stage-chaining loop (api:controller/ProcessController.java:232-270) with
+    the upstream TABLE as the queue (cdc/follow.py). The final dst state must
+    equal the upstream head state, which the driver checks against the same
+    winner-CTE oracle as ``cdc_replayed_state``."""
+    got = _FOLLOWED.get(sf)
+    if got is not None:
+        return got
+    from ..cdc.changelog import changes_as_feed
+    from ..cdc.follow import TableFollower
+    from ..cdc.merge import merge_into
+    from ..lake import LakeTable, bucket, days
+
+    src, v1, _v2 = _replayed(spark, sf)
+    root = tempfile.mkdtemp(prefix="cdc-follow-")
+    dst = LakeTable.create(
+        spark, f"{root}/dst", src.schema, [days("ts"), bucket(8, "conv_id")]
+    )
+    # bootstrap: the 0→v1 changelog is all-inserts of v1's winner state
+    merge_into(dst, changes_as_feed(src, 0, v1), fence_key="cdc-follow-seed", epoch_id=v1)
+    follower = TableFollower(
+        spark, src.path, f"{root}/dst", checkpoint_dir=f"{root}/ck",
+        fence_key="cdc-follow",
+    )
+    follower.seed_checkpoint(v1)
+    follower.poll_once()  # v1 → head: updates, deletes, inserts via the diff
+    # the follower commits through its own table handle; re-open at the new
+    # head (a LakeTable instance pins the commit it loaded)
+    dst = LakeTable(spark, f"{root}/dst")
+    _FOLLOWED[sf] = dst
+    return dst
+
+
+def cdc_changes_replayed(spark: SparkSession, sf: str) -> DataFrame:
+    """Downstream table state after chained changelog propagation
+    (changes_as_feed → TableFollower → lsn-guarded MERGE); must equal the
+    upstream head state."""
+    dst = _followed(spark, sf)
+    return dst.read().select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+
 def cdc_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Row-level changelog between the first epoch's commit and the head."""
     from ..cdc.changelog import CHANGE_TYPE_COL, snapshot_diff
@@ -169,9 +220,13 @@ SELECT conv_id, turn_idx, 'update_postimage', b_lsn, b_text
 QUERIES = {
     "cdc_replayed_state": cdc_replayed_state,
     "cdc_snapshot_diff": cdc_snapshot_diff,
+    "cdc_changes_replayed": cdc_changes_replayed,
 }
 
 ORACLES = {
     "cdc_replayed_state": CDC_REPLAYED_STATE_SQL,
     "cdc_snapshot_diff": CDC_SNAPSHOT_DIFF_SQL,
+    # chained propagation must land the upstream head state downstream —
+    # the oracle is the same winner CTE at the head version
+    "cdc_changes_replayed": CDC_REPLAYED_STATE_SQL,
 }
