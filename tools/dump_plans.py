@@ -93,16 +93,21 @@ SHOWCASE = {
         "vs 2."
     ),
     "cdc_snapshot_diff": (
-        "Row-level changelog between two table versions: each side's winner "
-        "set is a narrow (key, _lsn) scan broadcast-semi-restricted to the "
-        "touched keys (the cached InMemoryRelation — one scan of only the "
-        "files that differ between versions), partial-aggregated map-side, "
-        "then ONE full-width join-back per side; the unchanged bulk of the "
-        "table is pruned driver-side by bucket partition values and per-file "
-        "key stats before any I/O. Classification is a single full-outer "
-        "SortMergeJoin of the two touched-keys-sized winner sets with "
-        "update pre+post images emitted by one array/explode projection — "
-        "no branch recomputation."
+        "Row-level changelog between two table versions, FUSED (round 5): "
+        "the union of both versions' pruned file lists is scanned ONCE with "
+        "per-side membership flags (files common to both commits are "
+        "byte-identical — the earlier two-state form read them twice), both "
+        "versions' winner stamps come from ONE narrow HashAggregate "
+        "(max/max_by over long/boolean buffers; the string-valued tombstone "
+        "origin lives in a deletes-only side aggregate so it cannot demote "
+        "the main agg to SortAggregate — the two small SortAggregates in "
+        "this plan are that O(deletes) side branch), classification runs on "
+        "the changed-keys-only winner frame (broadcast-semi-restricted to "
+        "the touched keys from the cached diff-files scan), and a single "
+        "full-width join-back emits insert/delete/update pre+post images by "
+        "one array/explode projection. The unchanged bulk of the table is "
+        "still pruned driver-side by bucket partition values and per-file "
+        "key stats before any I/O; no full-outer join remains."
     ),
     "orders_enriched_querysource": (
         "The reference's per-row correlated @param query planned as broadcast "
