@@ -148,24 +148,60 @@ def snapshot_diff(
     if not changed:
         return table.spark.createDataFrame([], out_schema)
 
-    # touched keys: one scan of only the differing files (persisted — reused
-    # by the bounds probe and both semi-joins, then recycled next call)
-    touched = cycle_persist(
-        "snapshot_diff.touched",
-        table.read(files=changed, include_hidden=True).select(*key).distinct(),
-    )
+    def _cap_tiny_scan(df: DataFrame, files: list[DataFile]) -> DataFrame:
+        """Manifest-stats scan-partition cap for small candidate sets.
 
-    # driver-side pruning hints: len(key) min/max scalar pairs (bounded
-    # collect) + the bucket partition values of the changed files (manifest
-    # metadata, no I/O)
-    bounds_row = touched.agg(
-        *[F.min(k).alias(f"lo_{k}") for k in key],
-        *[F.max(k).alias(f"hi_{k}") for k in key],
-    ).collect()[0]
+        The session floors scan parallelism (files.minPartitionNum, a
+        scan-WAVE fix for the big replay levels), so a kilobyte-scale
+        candidate slice still fans out into hundreds of near-empty tasks —
+        and every one of them pays the shuffle writer's fixed setup
+        (bypass writer: one compressed stream per reduce partition PER MAP
+        TASK; profiled at sf0.1: ~0.4 s executor time per ~4 KB task,
+        ~100 CPU-s per 0.9 MB stage — pure per-task cost, zero data). The
+        manifest already knows the candidate row count, so cap the scan at
+        ~50k rows/partition via a narrow ``coalesce`` (no shuffle). Large
+        candidate sets are untouched — at scale the floor never binds."""
+        est = sum(f.rows or 0 for f in files)
+        if 0 < est <= 4_000_000:
+            return df.coalesce(max(int(est) // 50_000 + 1, 4))
+        return df
+
+    # touched keys: one scan of only the differing files (persisted — reused
+    # by the bounds probe and both semi-joins, then recycled next call).
+    # SHORTCUT: when the two versions share NO data file (epoch-over-epoch
+    # CoW diffs after a near-full rewrite, or any diff from version 0), the
+    # candidate files below are exactly the union of both full file sets and
+    # every key in them is by definition "touched" — the touched-set
+    # restriction is a provable no-op, so its scan job, bounds collect, and
+    # semi-join are skipped outright (unchanged keys still vanish in the
+    # classification filter; profiled at sf0.1 this was ~3 s of pure
+    # fixed cost on a 42k-row diff).
+    full_diff = not (pa & pb)
     key_bounds: list[tuple[str, str, object]] = []
-    for k in key:
-        if bounds_row[f"lo_{k}"] is not None:
-            key_bounds += [(k, ">=", bounds_row[f"lo_{k}"]), (k, "<=", bounds_row[f"hi_{k}"])]
+    if full_diff:
+        touched = None
+    else:
+        touched = cycle_persist(
+            "snapshot_diff.touched",
+            _cap_tiny_scan(
+                table.read(files=changed, include_hidden=True).select(*key).distinct(),
+                changed,
+            ),
+        )
+
+        # driver-side pruning hints: len(key) min/max scalar pairs (bounded
+        # collect) + the bucket partition values of the changed files
+        # (manifest metadata, no I/O)
+        bounds_row = touched.agg(
+            *[F.min(k).alias(f"lo_{k}") for k in key],
+            *[F.max(k).alias(f"hi_{k}") for k in key],
+        ).collect()[0]
+        for k in key:
+            if bounds_row[f"lo_{k}"] is not None:
+                key_bounds += [
+                    (k, ">=", bounds_row[f"lo_{k}"]),
+                    (k, "<=", bounds_row[f"hi_{k}"]),
+                ]
 
     cur = table._commit.spec_id
     changed_buckets: dict[str, set] | None = None
@@ -214,6 +250,10 @@ def snapshot_diff(
     rows = parts[0]
     for p in parts[1:]:
         rows = rows.unionByName(p)
+    rows = _cap_tiny_scan(
+        rows,
+        [f for f in files_a] + [f for f in files_b if f.path not in paths_a],
+    )
 
     # ---- one narrow winner aggregation computes BOTH versions' stamps:
     # per-key max is independent of other keys, so aggregate-then-restrict
@@ -237,13 +277,14 @@ def snapshot_diff(
     )
     # clip to the touched keys (null-safe — groupBy keeps NULL-key groups,
     # so the restriction must too); exactness no longer depends on how much
-    # file pruning applied
-    cond = None
-    t = touched
-    for k in key:
-        e = w[k].eqNullSafe(t[k])
-        cond = e if cond is None else cond & e
-    w = w.join(t, cond, "left_semi")
+    # file pruning applied. Skipped on a full diff (see the shortcut above).
+    if touched is not None:
+        cond = None
+        t = touched
+        for k in key:
+            e = w[k].eqNullSafe(t[k])
+            cond = e if cond is None else cond & e
+        w = w.join(t, cond, "left_semi")
 
     # classify on the narrow frame and DROP unchanged keys before the
     # join-back — the build side carries only keys that will emit rows
